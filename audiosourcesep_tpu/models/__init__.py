@@ -1,0 +1,6 @@
+from .glow import GlowMultiScale, glow_step, glow_block, make_conv_net_factory
+from .realnvp import RealNVP
+from .flow_builder import build_glow, build_realnvp
+
+__all__ = ["GlowMultiScale", "glow_step", "glow_block",
+           "make_conv_net_factory", "RealNVP", "build_glow", "build_realnvp"]
