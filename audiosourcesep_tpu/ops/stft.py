@@ -26,20 +26,23 @@ import numpy as np
 Array = jax.Array
 
 
-def hann_window(win_length: int, periodic: bool = True,
-                dtype=jnp.float32) -> Array:
-    """Periodic Hann window (scipy.signal.get_window('hann', n, fftbins=True))."""
+def hann_window_np(win_length: int, periodic: bool = True) -> np.ndarray:
+    """Periodic Hann window (scipy.signal.get_window('hann', n, fftbins=True)),
+    as float64 numpy (safe to build inside jit traces)."""
     n = win_length + 1 if periodic else win_length
     w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / max(n - 1, 1)))
-    if periodic:
-        w = w[:-1]
-    return jnp.asarray(w, dtype)
+    return w[:-1] if periodic else w
 
 
-def _pad_center(window: Array, n_fft: int) -> Array:
+def hann_window(win_length: int, periodic: bool = True,
+                dtype=jnp.float32) -> Array:
+    return jnp.asarray(hann_window_np(win_length, periodic), dtype)
+
+
+def _pad_center_np(window: np.ndarray, n_fft: int) -> np.ndarray:
     pad = n_fft - window.shape[0]
     lpad = pad // 2
-    return jnp.pad(window, (lpad, pad - lpad))
+    return np.pad(window, (lpad, pad - lpad))
 
 
 def frame_signal(x: Array, frame_length: int, hop_length: int) -> Array:
@@ -64,7 +67,8 @@ def stft(x: Array, n_fft: int = 2048, hop_length: int = 512,
         layout for phase-reuse inversion, data_loader.py:146-148).
     """
     win_length = win_length or n_fft
-    window = _pad_center(hann_window(win_length, dtype=x.dtype), n_fft)
+    window = jnp.asarray(_pad_center_np(hann_window_np(win_length), n_fft),
+                         x.dtype)
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
@@ -88,7 +92,8 @@ def istft(spec: Array, n_fft: int = 2048, hop_length: int = 512,
         real ``[..., T]``.
     """
     win_length = win_length or n_fft
-    window = _pad_center(hann_window(win_length, dtype=jnp.float32), n_fft)
+    w_np = _pad_center_np(hann_window_np(win_length), n_fft)
+    window = jnp.asarray(w_np, jnp.float32)
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
     frames = frames * window                            # [..., F, n_fft]
 
@@ -105,9 +110,8 @@ def istft(spec: Array, n_fft: int = 2048, hop_length: int = 512,
 
     # NOLA normalisation: sum of squared windows at each sample
     wsq = np.zeros(out_len, np.float64)
-    w_np = np.asarray(window, np.float64) ** 2
     for s in starts:
-        wsq[s:s + n_fft] += w_np
+        wsq[s:s + n_fft] += w_np ** 2
     wsq = np.maximum(wsq, 1e-11)
     y = y / jnp.asarray(wsq, y.dtype)
 
