@@ -1,0 +1,51 @@
+"""Device mesh + sharding helpers (SPMD data parallelism).
+
+The reference's only parallelism is ``tf.distribute.MirroredStrategy`` data
+parallelism with NCCL all-reduce (SURVEY.md §2); the TPU-native equivalent
+is a 1-D ``jax.sharding.Mesh`` over all chips with batch-sharded data and
+replicated params — XLA inserts the gradient ``psum`` over ICI at compile
+time. Models here are <100M params, so DP is the whole story; the helpers
+keep an explicit mesh so multi-host slices extend naturally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Shard the given axis over the mesh, replicate the rest."""
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    """Device-put a pytree of batch arrays with the batch axis sharded."""
+    s = batch_sharding(mesh, batch_axis)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), x)
+
+
+def replicate(params: Any, mesh: Mesh) -> Any:
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), params)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

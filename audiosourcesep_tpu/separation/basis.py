@@ -1,0 +1,157 @@
+"""BASIS: Bayesian Annealed SIgnal Separation as a single jitted scan.
+
+Re-design of /root/reference/run_basis_sep.py:152-260. The reference runs an
+eager Python loop with two sequential score-model calls per step and (for
+Glow priors) checkpoint restores from disk between noise levels
+(run_basis_sep.py:228-234). Here:
+
+* both sources (and both models) are *stacked*: one vmapped score evaluation
+  per step covers model1(x1) and model2(x2) simultaneously — twice the batch
+  on the MXU, half the launches;
+* the (noise level x step) loops are a double ``lax.scan`` compiled once;
+* per-level Glow parameters are pre-stacked pytrees indexed on-device, so no
+  host I/O ever interrupts the loop (SURVEY.md §7 stage 6);
+* the frame batch axis shards across the device mesh for multi-chip runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .mixing import mixing_process
+
+Array = jax.Array
+
+
+class BasisConfig(NamedTuple):
+    T: int = 100
+    delta: float = 2e-5
+    data_type: str = "melspec"
+    scale: str = "dB"
+    collect_trajectory: bool = True
+
+
+def stack_pytrees(*trees):
+    """Stack identically-structured pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def make_stacked_ncsn_score(model_apply: Callable, stacked_params
+                            ) -> Callable:
+    """Score fn over stacked sources from per-source stacked NCSN params.
+
+    ``stacked_params`` has a leading source axis on every leaf (from
+    :func:`stack_pytrees`); the returned function maps
+    ``(x [K, N, ...], sigma_idx) -> scores [K, N, ...]`` with a single
+    vmapped evaluation.
+    """
+    vapply = jax.vmap(model_apply, in_axes=(0, 0, None))
+
+    def score(x: Array, sigma_idx: Array, level: Array) -> Array:
+        del level
+        return vapply(stacked_params, x, sigma_idx)
+
+    return score
+
+
+def make_stacked_glow_score(log_prob_fn: Callable, per_level_params
+                            ) -> Callable:
+    """Score fn for Glow priors: ``grad_x log p(x)`` with per-noise-level
+    parameter stacks.
+
+    ``per_level_params`` carries leading axes ``[L, K, ...]`` (noise level,
+    source); the level is selected on-device inside the scan — replacing the
+    reference's per-level checkpoint restore (run_basis_sep.py:228-234).
+    """
+    def single_score(params, x):
+        return jax.grad(lambda v: jnp.sum(log_prob_fn(params, v)))(x)
+
+    vscore = jax.vmap(single_score, in_axes=(0, 0))
+
+    def score(x: Array, sigma_idx: Array, level: Array) -> Array:
+        params_l = jax.tree_util.tree_map(lambda p: p[level],
+                                          per_level_params)
+        return vscore(params_l, x)
+
+    return score
+
+
+def basis_separate(score_fn: Callable, mixed: Array, x_init: Array,
+                   sigmas: Array, rng: Array,
+                   config: BasisConfig = BasisConfig()):
+    """Run the full annealed BASIS separation.
+
+    Args:
+        score_fn: ``(x [K, N, ...], sigma_idx [K*? batch], level) -> scores``.
+        mixed: ``[N, ...]`` preprocessed mixture.
+        x_init: ``[K, N, ...]`` initial sources.
+        sigmas: ``[L]`` noise schedule.
+        rng: PRNG key.
+    Returns:
+        ``(x_final [K, N, ...], trajectory [L+1, K, N, ...] or None)``.
+
+    Inner update (run_basis_sep.py:180-181), vectorised over sources:
+    ``x <- x + eta * (score + lambda * grad_g * (mixed - g(x))) + sqrt(2
+    eta) * eps`` with ``eta = delta * (sigma/sigma_L)^2``,
+    ``lambda = 1/sigma^2``.
+    """
+    g, grad_g = mixing_process(config.data_type, config.scale)
+    sigmas = jnp.asarray(sigmas)
+    L = sigmas.shape[0]
+    K, N = x_init.shape[0], x_init.shape[1]
+
+    def level_body(x, level_in):
+        level, key = level_in
+        sigma = sigmas[level]
+        eta = config.delta * jnp.square(sigma / sigmas[-1])
+        lam = 1.0 / jnp.square(sigma)
+        labels = jnp.full((N,), level, jnp.int32)
+
+        def step_body(x, k):
+            noise = (jax.random.normal(k, x.shape, x.dtype)
+                     * jnp.sqrt(2.0 * eta).astype(x.dtype))
+            scores = score_fn(x, labels, level)
+            mixing = g(x)
+            grads_mix = grad_g(x)
+            recon = lam.astype(x.dtype) * grads_mix * (mixed - mixing)
+            return x + eta.astype(x.dtype) * (scores + recon) + noise, None
+
+        x, _ = jax.lax.scan(step_body, x, jax.random.split(key, config.T))
+        return x, (x if config.collect_trajectory else None)
+
+    levels = (jnp.arange(L), jax.random.split(rng, L))
+    x_final, traj = jax.lax.scan(level_body, x_init, levels)
+    if config.collect_trajectory:
+        traj = jnp.concatenate([x_init[None], traj], axis=0)
+    return x_final, traj
+
+
+def preprocess_mixture(mixed: Array, minval: float, maxval: float,
+                       use_logit: bool = False,
+                       alpha: float = 1e-6) -> Array:
+    """Rescale the mixture to [0,1] (+ optional logit)
+    (run_basis_sep.py:355-358)."""
+    x = (mixed - minval) / (maxval - minval)
+    if use_logit:
+        x = x * (1.0 - 2 * alpha) + alpha
+        x = jnp.log(x) - jnp.log1p(-x)
+    return x
+
+
+def postprocess(x: Array, minval: float, maxval: float,
+                use_logit: bool = False, alpha: float = 1e-6,
+                data_type: str = "melspec") -> Array:
+    """Map separated sources back to data scale (run_basis_sep.py:82-96)."""
+    if use_logit:
+        x = jax.nn.sigmoid(x)
+        x = (x - alpha) / (1.0 - 2.0 * alpha)
+    x = x * (maxval - minval) + minval
+    if data_type == "image":
+        x = jnp.round(jnp.clip(x, 0.0, 255.0))
+    else:
+        x = jnp.clip(x, minval, maxval)
+    return x

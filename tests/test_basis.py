@@ -1,0 +1,128 @@
+"""BASIS separation tests: mixing math, scan-vs-oracle, multi-chip sharding."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiosourcesep_tpu.models.ncsn import RefineNetDilated, get_sigmas
+from audiosourcesep_tpu.parallel import (batch_sharding, make_mesh,
+                                         replicate, shard_batch)
+from audiosourcesep_tpu.separation import (BasisConfig, basis_separate,
+                                           make_stacked_ncsn_score,
+                                           mixing_process, postprocess,
+                                           preprocess_mixture, stack_pytrees)
+
+
+class TestMixing:
+    def test_image_mean(self):
+        g, gg = mixing_process("image")
+        s = jnp.stack([jnp.ones((2, 3)), 3 * jnp.ones((2, 3))])
+        np.testing.assert_allclose(np.asarray(g(s)), 2.0)
+        np.testing.assert_allclose(np.asarray(gg(s)), 0.5)
+
+    def test_db_logsumexp_and_softmax(self):
+        g, gg = mixing_process("melspec", "dB")
+        x = jnp.asarray([[-20.0], [-10.0]])
+        # mixture in power domain: mean of powers, back to dB
+        expected = 10 * math.log10((10 ** -2 + 10 ** -1) / 2)
+        np.testing.assert_allclose(float(g(x)[0]), expected, rtol=1e-5)
+        grads = np.asarray(gg(x))
+        np.testing.assert_allclose(grads.sum(axis=0), 1.0, rtol=1e-5)
+        # softmax weights proportional to linear powers
+        np.testing.assert_allclose(grads[1] / grads[0], 10.0, rtol=1e-4)
+
+    def test_power_scale_reference_expression(self):
+        g, gg = mixing_process("melspec", "power")
+        x = jnp.asarray([[4.0], [16.0]])
+        np.testing.assert_allclose(float(g(x)[0]), 9.0, rtol=1e-6)
+        ref = (math.sqrt(9.0) / np.sqrt([4.0, 16.0])) * 3.0
+        np.testing.assert_allclose(np.asarray(gg(x))[:, 0], ref, rtol=1e-4)
+
+
+class TestBasisCore:
+    def test_matches_numpy_oracle_with_analytic_score(self):
+        """Gaussian prior score; BASIS scan must equal an explicit loop."""
+        sigmas = get_sigmas(1.0, 0.1, 3)
+        mu = jnp.asarray([0.7])
+
+        def score_fn(x, labels, level):
+            return -(x - mu)
+
+        mixed = 0.5 * jnp.ones((4, 2, 2, 1))
+        x0 = jnp.zeros((2, 4, 2, 2, 1))
+        rng = jax.random.PRNGKey(0)
+        cfg = BasisConfig(T=3, delta=1e-3, data_type="melspec", scale="dB")
+        out, traj = basis_separate(score_fn, mixed, x0, sigmas, rng, cfg)
+        assert out.shape == x0.shape
+        assert traj.shape == (4, 2, 4, 2, 2, 1)
+
+        # oracle loop with identical rng folding
+        from audiosourcesep_tpu.separation.mixing import mixing_process as mp
+        g, gg = mp("melspec", "dB")
+        x = x0
+        lkeys = jax.random.split(rng, 3)
+        for lvl in range(3):
+            sigma = sigmas[lvl]
+            eta = 1e-3 * (sigma / sigmas[-1]) ** 2
+            lam = 1.0 / sigma ** 2
+            for k in jax.random.split(lkeys[lvl], 3):
+                noise = jax.random.normal(k, x.shape) * np.sqrt(2 * eta)
+                s = score_fn(x, None, lvl)
+                x = x + eta * (s + lam * gg(x) * (mixed - g(x))) + noise
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_ncsn_stacked_score_equals_separate_models(self):
+        sigmas = get_sigmas(1.0, 0.1, 3)
+        model = RefineNetDilated((8, 8, 1), 4, num_classes=3)
+        p1 = model.init_params(jax.random.PRNGKey(1))
+        p2 = model.init_params(jax.random.PRNGKey(2))
+        stacked = stack_pytrees(p1, p2)
+        score = make_stacked_ncsn_score(model.apply, stacked)
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8, 1))
+        labels = jnp.zeros((4,), jnp.int32)
+        out = score(x, labels, 0)
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(model.apply(p1, x[0], labels)),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out[1]),
+                                   np.asarray(model.apply(p2, x[1], labels)),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_pre_post_processing_roundtrip(self):
+        x = jnp.linspace(-99.0, 19.0, 16).reshape(1, 4, 4, 1)
+        pre = preprocess_mixture(x, -100.0, 20.0)
+        post = postprocess(pre, -100.0, 20.0)
+        np.testing.assert_allclose(np.asarray(post), np.asarray(x),
+                                   atol=1e-3)
+
+
+class TestMultiChip:
+    def test_basis_sharded_matches_single_device(self):
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+        sigmas = get_sigmas(1.0, 0.1, 2)
+        model = RefineNetDilated((8, 8, 1), 4, num_classes=2)
+        p1 = model.init_params(jax.random.PRNGKey(4))
+        p2 = model.init_params(jax.random.PRNGKey(5))
+        stacked = stack_pytrees(p1, p2)
+        score = make_stacked_ncsn_score(model.apply, stacked)
+        mixed = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 1))
+        x0 = jax.random.uniform(jax.random.PRNGKey(7), (2, 8, 8, 8, 1))
+        rng = jax.random.PRNGKey(8)
+        cfg = BasisConfig(T=2, delta=1e-4, collect_trajectory=False)
+
+        ref, _ = basis_separate(score, mixed, x0, sigmas, rng, cfg)
+
+        mesh = make_mesh()
+        # shard the frame batch (axis 1 of x, axis 0 of mixed)
+        x0_s = shard_batch(x0, mesh, batch_axis=1)
+        mixed_s = shard_batch(mixed, mesh, batch_axis=0)
+        stacked_r = replicate(stacked, mesh)
+        score_s = make_stacked_ncsn_score(model.apply, stacked_r)
+        out, _ = jax.jit(
+            lambda m, x: basis_separate(score_s, m, x, sigmas, rng, cfg)
+        )(mixed_s, x0_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
