@@ -1,0 +1,224 @@
+"""Dataset loading: wav windowing, melspec TFRecord datasets, toy data,
+song extracts for separation.
+
+Re-designs of /root/reference/datasets/preprocessing.py:9-57 and
+data_loader.py. Host-side data lives in plain numpy arrays (these datasets
+are small — thousands of 96x64 patches); batching is a light iterator with
+optional per-host sharding, and the device transfer happens once per step
+with the batch axis sharded over the mesh (see ``parallel``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import melspectrogram, stft
+from .tfrecord import load_tf_records
+from .wav import load_audio
+
+
+# ---------------------------------------------------------------------------
+# wav -> windows
+# ---------------------------------------------------------------------------
+
+def load_wav(path: str, length_sec: float,
+             sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Load a wav mono (optionally resampled) and window it into
+    ``int(rate * length_sec)``-sample chunks, dropping the remainder
+    (preprocessing.py:9-26). Returns ``([n_windows, L], rate)``."""
+    song, rate = load_audio(path, sr=sr, mono=True)
+    L = int(rate * length_sec)
+    n = len(song) // L
+    return song[:n * L].reshape(n, L), rate
+
+
+def load_multiple_wav(path: str, length_sec: float) -> np.ndarray:
+    """Walk ``path`` for .wav files and concatenate their windows
+    (preprocessing.py:29-57)."""
+    wav_files = []
+    for root, _, files in os.walk(os.path.abspath(path)):
+        wav_files += [os.path.join(root, f) for f in files
+                      if re.match(r".*\.wav$", f)]
+    windows = [load_wav(f, length_sec)[0] for f in sorted(wav_files)]
+    print(f"{len(wav_files)} wav files loaded")
+    return np.concatenate(windows, axis=0) if windows else np.zeros((0, 0))
+
+
+# ---------------------------------------------------------------------------
+# in-memory dataset with reference-compatible batching
+# ---------------------------------------------------------------------------
+
+class ArrayDataset:
+    """Shuffled, batched iteration over a numpy array (drop_remainder),
+    with optional per-host sharding for multi-host TPU slices."""
+
+    def __init__(self, data: np.ndarray, batch_size: Optional[int],
+                 shuffle: bool = True, seed: int = 0,
+                 num_hosts: int = 1, host_id: int = 0):
+        if num_hosts > 1:
+            data = data[host_id::num_hosts]
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        if self.batch_size is None:
+            return len(self.data)
+        return len(self.data) // self.batch_size
+
+    @property
+    def n_examples(self) -> int:
+        return len(self.data)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = np.arange(len(self.data))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.batch_size
+        if bs is None:
+            yield self.data[idx]
+            return
+        for i in range(len(self.data) // bs):
+            yield self.data[idx[i * bs:(i + 1) * bs]]
+
+
+# ---------------------------------------------------------------------------
+# melspec TFRecord datasets (data_loader.py:69-110)
+# ---------------------------------------------------------------------------
+
+def _find_tfrecords(dirpath: str) -> List[str]:
+    files = []
+    for root, _, names in os.walk(os.path.abspath(dirpath)):
+        files += [os.path.join(root, f) for f in names
+                  if re.match(r".*\.tfrecord$", f)]
+    return sorted(files)
+
+
+def load_melspec_ds(train_dirpath: str, test_dirpath: str,
+                    batch_size: Optional[int] = 256, shuffle: bool = True,
+                    seed: int = 0, num_hosts: int = 1, host_id: int = 0):
+    """Load train/test melspec TFRecords.
+
+    Returns ``(ds_train, ds_test, minibatch, n_train, n_test)`` mirroring
+    the reference contract (data_loader.py:69-110): arrays get a trailing
+    channel dim, batches drop remainders, ``minibatch`` is one training
+    batch for data-dependent init.
+    """
+    train = np.stack(load_tf_records(_find_tfrecords(train_dirpath)))
+    test = np.stack(load_tf_records(_find_tfrecords(test_dirpath)))
+    train = train[..., None].astype(np.float32)
+    test = test[..., None].astype(np.float32)
+    n_train, n_test = len(train), len(test)
+
+    ds_train = ArrayDataset(train, batch_size, shuffle, seed,
+                            num_hosts, host_id)
+    ds_test = ArrayDataset(test, batch_size, shuffle, seed + 1,
+                           num_hosts, host_id)
+    minibatch = next(iter(ds_train))
+    return ds_train, ds_test, minibatch, n_train, n_test
+
+
+# ---------------------------------------------------------------------------
+# toy data (MNIST / CIFAR-10; data_loader.py:10-66)
+# ---------------------------------------------------------------------------
+
+def load_toydata(dataset: str = "mnist", batch_size: int = 256,
+                 seed: int = 0, data_dir: Optional[str] = None):
+    """MNIST (zero-padded 28->32) or CIFAR-10 as float arrays in [0, 256).
+
+    Tries the Keras dataset cache (no network in this environment; a
+    pre-populated ``~/.keras/datasets`` or ``data_dir`` with ``mnist.npz`` /
+    cifar batches works). Returns ``(ds_train, ds_test, minibatch)``.
+    """
+    if dataset == "mnist":
+        path = data_dir or os.path.expanduser(
+            "~/.keras/datasets/mnist.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"MNIST cache not found at {path}; place mnist.npz there "
+                "(no network access in this environment)")
+        with np.load(path) as d:
+            x_train, x_test = d["x_train"], d["x_test"]
+        x_train = np.pad(x_train, ((0, 0), (2, 2), (2, 2)))[..., None]
+        x_test = np.pad(x_test, ((0, 0), (2, 2), (2, 2)))[..., None]
+    elif dataset == "cifar10":
+        from tensorflow.keras.datasets import cifar10  # cached-only
+        (x_train, _), (x_test, _) = cifar10.load_data()
+    else:
+        raise ValueError("dataset should be mnist or cifar10")
+
+    x_train = x_train.astype(np.float32)
+    x_test = x_test.astype(np.float32)
+    ds_train = ArrayDataset(x_train, batch_size, True, seed)
+    ds_test = ArrayDataset(x_test, 5000, False, seed)
+    minibatch = next(iter(ds_train))
+    return ds_train, ds_test, minibatch
+
+
+def get_mixture_toydata(dataset: str = "mnist", n_mixed: int = 10,
+                        seed: int = 0, data_dir: Optional[str] = None):
+    """Two dequantised toy batches and their mean mixture
+    (data_loader.py:41-66). Returns (mixed, x1, x2, gt1, gt2, minibatch)."""
+    ds, _, minibatch = load_toydata(dataset, n_mixed, seed, data_dir)
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+    it = iter(ds)
+    gt1 = jnp.asarray(next(it))
+    gt2 = jnp.asarray(next(it))
+    shape = gt1.shape
+    gt1 = gt1 / 256.0 - 0.5 + jax.random.uniform(k1, shape, maxval=1 / 256.0)
+    gt2 = gt2 / 256.0 - 0.5 + jax.random.uniform(k2, shape, maxval=1 / 256.0)
+    mixed = (gt1 + gt2) / 2.0
+    x1 = jax.random.normal(k3, shape)
+    x2 = jax.random.normal(k4, shape)
+    return mixed, x1, x2, gt1, gt2, minibatch
+
+
+# ---------------------------------------------------------------------------
+# song extract for separation (data_loader.py:113-180)
+# ---------------------------------------------------------------------------
+
+def get_song_extract(mix_path: str, piano_path: str, violin_path: str,
+                     duration: float, length_sec: float = 2.04,
+                     sr: int = 16000, n_fft: int = 2048,
+                     hop_length: int = 512, n_mels: int = 96,
+                     fmin: float = 125.0, fmax: float = 7600.0,
+                     dbmin: float = -100.0, dbmax: float = 20.0,
+                     use_dB: bool = True, skip_frames: int = 2):
+    """Load mixture + sources, window, and compute (batched, on-device) the
+    mel spectrograms and the complex mixture STFT kept for phase-reuse
+    inversion.
+
+    Returns ``(mel_spec [3][n, n_mels, F, 1], raw_audio [3][T],
+    stft_mixture [n, bins, F] complex)``.
+    """
+    n_extract = int(round(duration / length_sec))
+    windows = []
+    for path in (mix_path, piano_path, violin_path):
+        w, _ = load_wav(path, length_sec, sr=sr)
+        windows.append(w[skip_frames: skip_frames + n_extract])
+    mix_w, piano_w, violin_w = windows
+    raw_audio = [w.reshape(-1) for w in windows]
+
+    all_w = jnp.asarray(np.stack(windows))          # [3, n, L]
+    stft_all = stft(all_w, n_fft=n_fft, hop_length=hop_length)
+    stft_mixture = np.asarray(stft_all[0])          # complex [n, bins, F]
+
+    mels = melspectrogram(all_w, sr=sr, n_fft=n_fft, hop_length=hop_length,
+                          n_mels=n_mels, fmin=fmin, fmax=fmax, dbmin=dbmin,
+                          dbmax=dbmax, use_dB=False)
+    if use_dB:
+        # the reference applies librosa.power_to_db (per-window top_db=80
+        # floor) then clips to [dbmin, dbmax] (data_loader.py:161-164);
+        # the training-path clip already bounds power to >= dbmin so the
+        # plain 10*log10 is equivalent within [dbmin, dbmax]
+        mels = jnp.clip(10.0 * jnp.log10(mels), dbmin, dbmax)
+    mel_spec = [np.asarray(mels[i])[..., None] for i in range(3)]
+    return mel_spec, raw_audio, stft_mixture

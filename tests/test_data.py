@@ -1,0 +1,149 @@
+"""Data pipeline tests: wav IO, TFRecord interop with TensorFlow, loaders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audiosourcesep_tpu.data import (ArrayDataset, load_tf_records,
+                                     load_wav, masked_crc32c, parse_example,
+                                     read_wav, resample, save_tf_records,
+                                     serialize_example, write_wav)
+
+
+class TestWav:
+    def test_roundtrip_pcm16(self, tmp_path):
+        rng = np.random.RandomState(0)
+        x = (rng.rand(16000).astype(np.float32) - 0.5) * 0.9
+        p = str(tmp_path / "a.wav")
+        write_wav(p, x, 16000)
+        y, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+    def test_roundtrip_float32(self, tmp_path):
+        x = np.linspace(-1, 1, 1000).astype(np.float32)
+        p = str(tmp_path / "f.wav")
+        write_wav(p, x, 8000, subtype="float32")
+        y, sr = read_wav(p)
+        np.testing.assert_allclose(y, x, atol=1e-7)
+
+    def test_stereo_to_mono(self, tmp_path):
+        x = np.stack([np.ones(100), -np.ones(100)], axis=1).astype(
+            np.float32) * 0.5
+        p = str(tmp_path / "s.wav")
+        write_wav(p, x, 8000)
+        y, _ = read_wav(p, mono=True)
+        np.testing.assert_allclose(y, 0.0, atol=1e-4)
+
+    def test_reads_reference_wav(self):
+        ref = ("/root/reference/basis_sep_results/"
+               "beethoven_sonata_1_sep_1min/mix.wav")
+        if not os.path.exists(ref):
+            pytest.skip("reference artifact not available")
+        x, sr = read_wav(ref)
+        assert sr == 16000
+        assert x.shape == (967680,)
+        assert np.abs(x).max() <= 1.0
+
+    def test_resample(self):
+        t = np.arange(8000) / 8000.0
+        x = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+        y = resample(x, 8000, 16000)
+        assert abs(len(y) - 16000) <= 1
+        t2 = np.arange(len(y)) / 16000.0
+        expected = np.sin(2 * np.pi * 100 * t2)
+        np.testing.assert_allclose(y[100:-100], expected[100:-100],
+                                   atol=1e-2)
+
+    def test_load_wav_windows(self, tmp_path):
+        x = np.zeros(36000, np.float32)
+        p = str(tmp_path / "w.wav")
+        write_wav(p, x, 16000)
+        windows, rate = load_wav(p, 2.04)
+        assert rate == 16000
+        assert windows.shape == (1, 32640)
+
+
+class TestTFRecord:
+    def test_crc32c_known_value(self):
+        # RFC 3720 test vector: crc32c of 32 zero bytes = 0x8a9136aa;
+        # masked = rot15 + 0xa282ead8
+        crc = 0x8A9136AA
+        masked = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        assert masked_crc32c(b"\x00" * 32) == masked
+
+    def test_roundtrip_shapes(self, tmp_path):
+        rng = np.random.RandomState(1)
+        arrays = [rng.randn(7).astype(np.float32),
+                  rng.randn(5, 3).astype(np.float32),
+                  rng.randn(2, 4, 6).astype(np.float32)]
+        p = str(tmp_path / "t.tfrecord")
+        n = save_tf_records(arrays, p)
+        assert n == 3
+        out = load_tf_records([p])
+        assert len(out) == 3
+        for a, b in zip(arrays, out):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_tensorflow_can_read_ours(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.RandomState(2)
+        arrays = [rng.randn(4, 3).astype(np.float32)]
+        p = str(tmp_path / "interop.tfrecord")
+        save_tf_records(arrays, p)
+        ds = tf.data.TFRecordDataset([p])
+        feature_description = {
+            "array": tf.io.FixedLenSequenceFeature([], tf.float32,
+                                                   allow_missing=True),
+            "shape": tf.io.FixedLenSequenceFeature([], tf.int64,
+                                                   allow_missing=True),
+        }
+        for raw in ds:
+            ex = tf.io.parse_single_example(raw, feature_description)
+            arr = tf.reshape(ex["array"], ex["shape"]).numpy()
+            np.testing.assert_allclose(arr, arrays[0], rtol=1e-6)
+
+    def test_we_can_read_tensorflows(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.RandomState(3)
+        arr = rng.randn(3, 5).astype(np.float32)
+        feature = {
+            "array": tf.train.Feature(float_list=tf.train.FloatList(
+                value=arr.reshape(-1))),
+            "shape": tf.train.Feature(int64_list=tf.train.Int64List(
+                value=list(arr.shape))),
+        }
+        ex = tf.train.Example(
+            features=tf.train.Features(feature=feature)).SerializeToString()
+        p = str(tmp_path / "tf.tfrecord")
+        with tf.io.TFRecordWriter(p) as w:
+            w.write(ex)
+        out = load_tf_records([p])
+        np.testing.assert_allclose(out[0], arr, rtol=1e-6)
+
+    def test_parse_serialize_inverse(self):
+        a = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        np.testing.assert_allclose(parse_example(serialize_example(a)), a)
+
+
+class TestArrayDataset:
+    def test_batching_drops_remainder(self):
+        ds = ArrayDataset(np.arange(10), batch_size=3, shuffle=False)
+        batches = list(ds)
+        assert len(batches) == 3
+        np.testing.assert_array_equal(np.concatenate(batches),
+                                      np.arange(9))
+
+    def test_shuffle_deterministic_per_seed(self):
+        d1 = list(ArrayDataset(np.arange(10), 5, True, seed=42))
+        d2 = list(ArrayDataset(np.arange(10), 5, True, seed=42))
+        np.testing.assert_array_equal(d1[0], d2[0])
+
+    def test_host_sharding(self):
+        data = np.arange(8)
+        s0 = ArrayDataset(data, None, False, num_hosts=2, host_id=0)
+        s1 = ArrayDataset(data, None, False, num_hosts=2, host_id=1)
+        np.testing.assert_array_equal(np.sort(np.concatenate(
+            [s0.data, s1.data])), data)
