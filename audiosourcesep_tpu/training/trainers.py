@@ -1,0 +1,171 @@
+"""Jitted DP train steps for flows and NCSN + the noisy-Glow fine-tune chain.
+
+Equivalents of train_glow.py / train_ncsn.py / train_noisy_glow.py training
+math. Each step is one jitted function with donated state; with a mesh, the
+batch axis is sharded and XLA emits the gradient all-reduce over ICI
+(replacing ``strategy.run`` + ``ReduceOp.SUM``, train_glow.py:50-60).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..bijectors import FlowModel
+from ..models.ncsn.utils import dsm_loss
+from ..parallel import batch_sharding, make_mesh, replicate, replicated
+from .checkpoint import CheckpointManager, restore_pytree
+from .train_utils import ema_update, setup_optimizer
+
+
+def init_train_state(params: Any, optimizer: optax.GradientTransformation,
+                     ema: bool = False) -> dict:
+    state = {"params": params, "opt_state": optimizer.init(params),
+             "step": jnp.asarray(0)}
+    if ema:
+        state["ema_params"] = jax.tree_util.tree_map(jnp.copy, params)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# flows (train_glow.py:29-44; train_noisy_glow.py:30-38)
+# ---------------------------------------------------------------------------
+
+def make_flow_train_step(model: FlowModel,
+                         optimizer: optax.GradientTransformation,
+                         noise_sigma: Optional[float] = None,
+                         mesh=None) -> Callable:
+    """Returns ``step(state, batch, rng) -> (state, loss)``.
+
+    ``noise_sigma`` set -> noisy-Glow fine-tuning on ``X + sigma * eps``
+    (train_noisy_glow.py:30-38). Loss is mean NLL over the global batch.
+    """
+
+    def loss_fn(params, batch, rng):
+        k_noise, k_deq = jax.random.split(rng)
+        if noise_sigma is not None:
+            batch = batch + noise_sigma * jax.random.normal(
+                k_noise, batch.shape, batch.dtype)
+        return -jnp.mean(model.log_prob(params, batch, k_deq))
+
+    def step(state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch,
+                                                  rng)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(state, params=params, opt_state=opt_state,
+                         step=state["step"] + 1)
+        return new_state, loss
+
+    def eval_loss(state, batch, rng):
+        return loss_fn(state["params"], batch, rng)
+
+    return _jit_with_mesh(step, eval_loss, mesh)
+
+
+# ---------------------------------------------------------------------------
+# NCSN (train_ncsn.py:26-75)
+# ---------------------------------------------------------------------------
+
+def make_ncsn_train_step(model_apply: Callable, sigmas,
+                         optimizer: optax.GradientTransformation,
+                         ema_decay: Optional[float] = None,
+                         per_sample_sigma: bool = True,
+                         mesh=None) -> Callable:
+    sigmas = jnp.asarray(sigmas)
+
+    def loss_fn(params, batch, rng):
+        return dsm_loss(model_apply, params, batch, sigmas, rng,
+                        per_sample_sigma=per_sample_sigma)
+
+    def step(state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch,
+                                                  rng)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(state, params=params, opt_state=opt_state,
+                         step=state["step"] + 1)
+        if ema_decay is not None and "ema_params" in state:
+            new_state["ema_params"] = ema_update(state["ema_params"], params,
+                                                 ema_decay)
+        return new_state, loss
+
+    def eval_loss(state, batch, rng):
+        params = state.get("ema_params", state["params"]) \
+            if ema_decay is not None else state["params"]
+        return loss_fn(params, batch, rng)
+
+    return _jit_with_mesh(step, eval_loss, mesh)
+
+
+def _jit_with_mesh(step, eval_loss, mesh):
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0), jax.jit(eval_loss)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    jstep = jax.jit(step, donate_argnums=0,
+                    in_shardings=(repl, data, repl),
+                    out_shardings=(repl, repl))
+    jeval = jax.jit(eval_loss, in_shardings=(repl, data, repl),
+                    out_shardings=repl)
+    return jstep, jeval
+
+
+# ---------------------------------------------------------------------------
+# noisy-Glow chain (train_noisy_glow.py:187-360)
+# ---------------------------------------------------------------------------
+
+def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
+                           ds_train, ds_test, *,
+                           optimizer_name: str = "adamax",
+                           learning_rate: float = 1e-3,
+                           n_epochs_per_sigma: int = 20,
+                           batch_size: int = 32,
+                           output_dir: str = ".",
+                           restore_path: Optional[str] = None,
+                           rng: Optional[jax.Array] = None,
+                           mesh=None):
+    """Serially fine-tune a Glow model at each noise level.
+
+    For each sigma (descending): restore the previous level's weights,
+    train on ``X + sigma * eps``, save under ``sigma_{round(sigma,2)}/ckpts``
+    — the directory contract run_basis_sep consumes
+    (run_basis_sep.py:284-285).
+    """
+    from .loop import LoopConfig, run_training
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    optimizer = setup_optimizer(optimizer_name, learning_rate)
+    params = init_params
+    prev_ckpt_dir = restore_path
+    save_dirs = {}
+
+    for sigma in np.asarray(sigmas):
+        sigma_dir = os.path.join(output_dir, f"sigma_{round(float(sigma), 2)}")
+        os.makedirs(sigma_dir, exist_ok=True)
+        state = init_train_state(params, optimizer)
+        if prev_ckpt_dir is not None:
+            mgr = CheckpointManager(prev_ckpt_dir)
+            state, _ = mgr.restore_latest(state, strict=False)
+            print(f"Restored previous level weights from {prev_ckpt_dir}")
+
+        step, eval_loss = make_flow_train_step(
+            model, optimizer, noise_sigma=float(sigma), mesh=mesh)
+        cfg = LoopConfig(n_epochs=n_epochs_per_sigma, batch_size=batch_size,
+                         output_dir=sigma_dir, ckpt_dir="ckpts")
+        rng, loop_rng = jax.random.split(rng)
+        result = run_training(state, step, eval_loss, ds_train, ds_test,
+                              cfg, loop_rng, mesh=mesh)
+        params = result.state["params"]
+        prev_ckpt_dir = os.path.join(sigma_dir, "ckpts")
+        save_dirs[float(sigma)] = prev_ckpt_dir
+        print(f"sigma={float(sigma):.4f} done -> {prev_ckpt_dir}")
+    return save_dirs

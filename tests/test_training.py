@@ -1,0 +1,169 @@
+"""Training infrastructure tests: checkpoints, train steps, DP equivalence,
+noisy-Glow chain, full loop behavior."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiosourcesep_tpu.bijectors import (ActNorm, AffineCouplingMasked,
+                                          Chain, FlowModel,
+                                          IsotropicNormalPrior,
+                                          ShiftAndLogScaleConvNet)
+from audiosourcesep_tpu.data import ArrayDataset
+from audiosourcesep_tpu.models.ncsn import RefineNetDilated, get_sigmas
+from audiosourcesep_tpu.parallel import make_mesh
+from audiosourcesep_tpu.training import (CheckpointManager, LoopConfig,
+                                         init_train_state,
+                                         make_flow_train_step,
+                                         make_ncsn_train_step,
+                                         restore_pytree, run_training,
+                                         save_pytree, setup_optimizer,
+                                         train_noisy_glow_chain)
+
+
+def toy_flow():
+    bij = Chain([ActNorm(),
+                 AffineCouplingMasked(ShiftAndLogScaleConvNet(4),
+                                      "checkerboard", 0)], name="toy")
+    return FlowModel(bij, IsotropicNormalPrior((4, 4, 1)))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        tree = {"a": jnp.arange(3.0), "b": {"c": jnp.ones((2, 2))}}
+        p = str(tmp_path / "ck")
+        save_pytree(p, tree, step=7)
+        out, step = restore_pytree(p, tree)
+        assert step == 7
+        np.testing.assert_allclose(np.asarray(out["b"]["c"]), 1.0)
+
+    def test_strict_shape_mismatch(self, tmp_path):
+        p = str(tmp_path / "ck")
+        save_pytree(p, {"a": jnp.zeros(3)}, 0)
+        with pytest.raises(ValueError):
+            restore_pytree(p, {"a": jnp.zeros(4)})
+
+    def test_manager_rolls_and_restores_latest(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+        for s in range(4):
+            mgr.save({"w": jnp.full((2,), float(s))}, s)
+        files = [f for f in os.listdir(tmp_path / "ckpts")
+                 if f.endswith(".npz")]
+        assert len(files) == 2
+        out, step = mgr.restore_latest({"w": jnp.zeros(2)})
+        assert step == 3
+        np.testing.assert_allclose(np.asarray(out["w"]), 3.0)
+
+
+class TestFlowTraining:
+    def test_loss_decreases(self):
+        model = toy_flow()
+        X = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (64, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(1), X)
+        opt = setup_optimizer("adam", 1e-2)
+        state = init_train_state(params, opt)
+        step, eval_loss = make_flow_train_step(model, opt)
+        rng = jax.random.PRNGKey(2)
+        first = None
+        for i in range(30):
+            rng, k = jax.random.split(rng)
+            state, loss = step(state, X, k)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first
+
+    def test_dp_matches_single_device(self):
+        model = toy_flow()
+        X = jax.random.normal(jax.random.PRNGKey(3), (16, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(4), X)
+        opt = setup_optimizer("adam", 1e-3)
+
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        s1 = init_train_state(copy(params), opt)
+        step1, _ = make_flow_train_step(model, opt)
+        s1, loss1 = step1(s1, X, jax.random.PRNGKey(5))
+
+        mesh = make_mesh()
+        s8 = init_train_state(copy(params), opt)
+        from audiosourcesep_tpu.parallel import replicate, shard_batch
+        s8 = replicate(s8, mesh)
+        step8, _ = make_flow_train_step(model, opt, mesh=mesh)
+        s8, loss8 = step8(s8, shard_batch(X, mesh), jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+        l1 = jax.tree_util.tree_leaves(s1["params"])
+        l8 = jax.tree_util.tree_leaves(s8["params"])
+        # adam normalises by sqrt(v): f32 reduction-order noise in the
+        # sharded gradient sum is amplified into ~1e-4 update differences
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4)
+
+    def test_noisy_sigma_changes_loss(self):
+        model = toy_flow()
+        X = jax.random.normal(jax.random.PRNGKey(6), (8, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(7), X)
+        opt = setup_optimizer("adam", 1e-3)
+        _, eval_clean = make_flow_train_step(model, opt)
+        _, eval_noisy = make_flow_train_step(model, opt, noise_sigma=1.0)
+        k = jax.random.PRNGKey(8)
+        s = init_train_state(params, opt)
+        assert (float(eval_clean(s, X, k))
+                != float(eval_noisy(s, X, k)))
+
+
+class TestNCSNTraining:
+    def test_step_runs_and_ema_tracks(self):
+        sig = get_sigmas(1.0, 0.01, 4)
+        model = RefineNetDilated((8, 8, 1), 4, num_classes=4)
+        params = model.init_params(jax.random.PRNGKey(9))
+        opt = setup_optimizer("adam", 1e-3)
+        state = init_train_state(params, opt, ema=True)
+        step, eval_loss = make_ncsn_train_step(model.apply, sig, opt,
+                                               ema_decay=0.5)
+        X = jax.random.normal(jax.random.PRNGKey(10), (4, 8, 8, 1))
+        state2, loss = step(state, X, jax.random.PRNGKey(11))
+        assert bool(jnp.isfinite(loss))
+        # ema moved toward new params but is not equal to them
+        p_new = jax.tree_util.tree_leaves(state2["params"])[0]
+        e_new = jax.tree_util.tree_leaves(state2["ema_params"])[0]
+        assert not np.allclose(np.asarray(p_new), np.asarray(e_new))
+
+
+class TestLoopAndChain:
+    def test_run_training_saves_checkpoint(self, tmp_path):
+        model = toy_flow()
+        X = jax.random.normal(jax.random.PRNGKey(12), (32, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(13), X)
+        opt = setup_optimizer("adam", 1e-3)
+        state = init_train_state(params, opt)
+        step, eval_loss = make_flow_train_step(model, opt)
+        ds_train = ArrayDataset(np.asarray(X), 8)
+        ds_test = ArrayDataset(np.asarray(X[:8]), 8)
+        cfg = LoopConfig(n_epochs=2, batch_size=8,
+                         output_dir=str(tmp_path))
+        result = run_training(state, step, eval_loss, ds_train, ds_test,
+                              cfg, jax.random.PRNGKey(14))
+        assert result.save_path and os.path.exists(result.save_path)
+        assert not result.aborted_nan
+        assert len(result.history) == 2
+
+    def test_noisy_glow_chain_layout(self, tmp_path):
+        model = toy_flow()
+        X = jax.random.normal(jax.random.PRNGKey(15), (16, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(16), X)
+        ds_train = ArrayDataset(np.asarray(X), 8)
+        ds_test = ArrayDataset(np.asarray(X[:8]), 8)
+        sigmas = get_sigmas(1.0, 0.1, 2)
+        dirs = train_noisy_glow_chain(
+            model, params, sigmas, ds_train, ds_test,
+            n_epochs_per_sigma=1, batch_size=8,
+            output_dir=str(tmp_path), rng=jax.random.PRNGKey(17))
+        np.testing.assert_allclose(sorted(dirs), [0.1, 1.0], rtol=1e-5)
+        for sigma, d in dirs.items():
+            assert os.path.isdir(d), d
+            assert f"sigma_{round(sigma, 2)}" in d
+            mgr = CheckpointManager(d)
+            assert mgr.latest() is not None
