@@ -1,0 +1,135 @@
+"""Mixture-of-logistics CDF coupling (Flow++).
+
+Re-design of /root/reference/flow_models/flow_tfp_bijectors.py:399-553.
+The reference marks its Flow++ path "not tested" (README.md:127) and has
+two real bugs fixed here: the forward log-det evaluates the mixture density
+at the *conditioner* half ``x1`` instead of the transformed half ``x2``
+(flow_tfp_bijectors.py:488-489), and ``FlowppCouplingLayer`` discards its
+actnorm/1x1 outputs (flow_flowpp.py:26-34). The inverse uses a bisection
+search under ``lax.fori_loop`` instead of ``tfp.math.secant_root``
+(monotone scalar CDF -> bisection is unconditionally convergent and maps
+to fixed-iteration compiled control flow).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core import Bijector, sum_event
+
+Array = jax.Array
+
+_CLIP_LO = 1e-10
+_CLIP_HI = 1.0 - 1e-7
+
+
+def mixlog_logcdf(x: Array, logits: Array, means: Array, log_scales: Array,
+                  min_log_scale: float = -7.0) -> Array:
+    """log CDF of a mixture of logistics; x [...], params [..., K]."""
+    log_scales = jnp.maximum(log_scales, min_log_scale)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    z = (x[..., None] - means) * jnp.exp(-log_scales)
+    return jax.scipy.special.logsumexp(log_p + jax.nn.log_sigmoid(z),
+                                       axis=-1)
+
+
+def mixlog_logpdf(x: Array, logits: Array, means: Array, log_scales: Array,
+                  min_log_scale: float = -7.0) -> Array:
+    log_scales = jnp.maximum(log_scales, min_log_scale)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    z = (x[..., None] - means) * jnp.exp(-log_scales)
+    comp = log_p + z - log_scales - 2.0 * jax.nn.softplus(z)
+    return jax.scipy.special.logsumexp(comp, axis=-1)
+
+
+def mixlog_inv_cdf(y: Array, logits: Array, means: Array,
+                   log_scales: Array, n_iter: int = 64) -> Array:
+    """Invert ``cdf(x) = y`` by bisection (monotone in x)."""
+    log_scales_c = jnp.maximum(log_scales, -7.0)
+    span = jnp.exp(log_scales_c)
+    lo = jnp.min(means - 30.0 * span, axis=-1)
+    hi = jnp.max(means + 30.0 * span, axis=-1)
+    log_y = jnp.log(jnp.clip(y, _CLIP_LO, _CLIP_HI))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        too_low = mixlog_logcdf(mid, logits, means, log_scales) < log_y
+        return jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def _inv_sigmoid(x: Array) -> Array:
+    return jnp.log(x) - jnp.log1p(-x)
+
+
+class MixLogisticCDFCoupling(Bijector):
+    """Flow++ coupling: ``y2 = logit(MixLogCDF(x2)) * exp(log_s) + t`` with
+    (log_s, t, mixture params) = nn(x1).
+
+    ``split='channel'`` halves channels; ``'checkerboard'`` interleaves
+    along width (flow_tfp_bijectors.py:427-451). ``split_state`` swaps the
+    roles of the halves.
+    """
+
+    name = "mixlogcdf_coupling"
+
+    def __init__(self, net, split: str = "channel", split_state: int = 0):
+        assert split in ("channel", "checkerboard")
+        self.net = net
+        self.split = split
+        self.split_state = split_state
+
+    def _split(self, x):
+        if self.split == "channel":
+            x1, x2 = jnp.split(x, 2, axis=-1)
+        else:
+            N, H, W, C = x.shape
+            r = x.reshape(N, H, W // 2, 2, C)
+            x1, x2 = r[:, :, :, 0], r[:, :, :, 1]
+        if self.split_state:
+            x1, x2 = x2, x1
+        return x1, x2
+
+    def _merge(self, y1, y2, like):
+        if self.split_state:
+            y1, y2 = y2, y1
+        if self.split == "channel":
+            return jnp.concatenate([y1, y2], axis=-1)
+        N, H, W, C = like
+        return jnp.stack([y1, y2], axis=3).reshape(N, H, W, C)
+
+    def init_params(self, key, x):
+        context_ch = getattr(self.net, "context", False)
+        return {"net": self.net.init_params(key)}
+
+    def _params_of(self, params, x1, context):
+        return self.net.apply(params["net"], x1, context)
+
+    def forward(self, params, x, rng=None, context=None):
+        x1, x2 = self._split(x)
+        log_s, t, logits, means, log_scales = self._params_of(
+            params, x1, context)
+        log_cdf = mixlog_logcdf(x2, logits, means, log_scales)
+        u = jnp.clip(jnp.exp(log_cdf), _CLIP_LO, _CLIP_HI)
+        y2 = _inv_sigmoid(u) * jnp.exp(log_s) + t
+        # d y2 / d x2 = pdf(x2) / (u (1-u)) * exp(log_s)
+        ld = (mixlog_logpdf(x2, logits, means, log_scales)
+              - jnp.log(u) - jnp.log1p(-u) + log_s)
+        return self._merge(x1, y2, x.shape), sum_event(ld)
+
+    def inverse(self, params, y, rng=None, context=None):
+        y1, y2 = self._split(y)
+        log_s, t, logits, means, log_scales = self._params_of(
+            params, y1, context)
+        u = jax.nn.sigmoid((y2 - t) * jnp.exp(-log_s))
+        x2 = mixlog_inv_cdf(u, logits, means, log_scales)
+        u_c = jnp.clip(u, _CLIP_LO, _CLIP_HI)
+        ld = (mixlog_logpdf(x2, logits, means, log_scales)
+              - jnp.log(u_c) - jnp.log1p(-u_c) + log_s)
+        return self._merge(y1, x2, y.shape), sum_event(ld)

@@ -1,0 +1,7 @@
+from .hparams import (max_pairwise_distance, technique1_sigma1,
+                      technique2_gamma, technique4_epsilon)
+from .summary import total_trainable_variables, print_summary
+
+__all__ = ["max_pairwise_distance", "technique1_sigma1", "technique2_gamma",
+           "technique4_epsilon", "total_trainable_variables",
+           "print_summary"]

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: BASIS separation of a 1-minute piano+violin mix.
+
+Reference baseline (BASELINE.md): 1411.5 s on a 4-GPU host for the exact
+same computation — NCSNv1 (192 filters), 30 mel-spectrogram frames
+[30, 96, 64, 1], 10 noise levels x T=100 Langevin steps x 2 score models
+(2,000 score-network forwards), run_basis_sep.py driver.
+
+Here the whole anneal is ONE jitted double scan with both models stacked
+into a single vmapped evaluation (effective batch 60 on the MXU). Model
+weights are random — identical FLOPs/memory traffic to trained weights, so
+wall-clock is representative without shipping checkpoints.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
+from audiosourcesep_tpu.separation import (BasisConfig, basis_separate,
+                                           make_stacked_ncsn_score,
+                                           stack_pytrees)
+
+BASELINE_SECONDS = 1411.5  # basis_sep_results/beethoven_sonata_1_sep_1min
+
+# benchmark shape: the reference's 1-minute separation workload
+N_FRAMES = 30
+DATA_SHAPE = (96, 64, 1)
+N_FILTERS = 192
+NUM_CLASSES = 10
+T = 100
+
+
+def main():
+    sigmas = get_sigmas(1.0, 0.01, NUM_CLASSES, "logarithmic")
+    model = get_score_model("v1", DATA_SHAPE, N_FILTERS, NUM_CLASSES)
+
+    k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
+    p1 = model.init_params(k0)
+    p2 = model.init_params(k1)
+    stacked = stack_pytrees(p1, p2)
+    score_fn = make_stacked_ncsn_score(model.apply, stacked)
+
+    mixed = jax.random.normal(k2, (N_FRAMES, *DATA_SHAPE)) * 0.2 + 0.5
+    x_init = jax.random.uniform(k3, (2, N_FRAMES, *DATA_SHAPE))
+
+    cfg = BasisConfig(T=T, delta=2e-5, data_type="melspec", scale="dB",
+                      collect_trajectory=False)
+
+    run = jax.jit(lambda m, x, key: basis_separate(
+        score_fn, m, x, sigmas, key, cfg)[0])
+
+    # compile (excluded: one-time cost, amortised in production serving)
+    t_compile = time.time()
+    jax.block_until_ready(run(mixed, x_init, k4))
+    compile_and_first = time.time() - t_compile
+
+    t0 = time.time()
+    out = jax.block_until_ready(run(mixed, x_init, k4))
+    elapsed = time.time() - t0
+
+    assert bool(jnp.isfinite(out).all()), "non-finite separation output"
+
+    print(json.dumps({
+        "metric": "basis_separation_1min_mix_wallclock",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+    }))
+    print(f"# devices={jax.devices()}  first_call={compile_and_first:.1f}s  "
+          f"steady_state={elapsed:.3f}s  "
+          f"score_evals_per_s={2 * NUM_CLASSES * T * N_FRAMES / elapsed:.0f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

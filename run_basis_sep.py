@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""BASIS source separation with pre-trained NCSN or Glow priors.
+
+CLI contract follows /root/reference/run_basis_sep.py:453-525 (positional
+RESTORE1/RESTORE2, same flags, same ``results.npz`` keys). The whole
+annealed separation runs as ONE jitted scan: both sources/models stacked
+into a single vmapped score evaluation, frames sharded over the device
+mesh, per-noise-level Glow parameter stacks resident on device (no
+checkpoint I/O inside the loop — the reference restores checkpoints between
+every noise level, run_basis_sep.py:228-234).
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiosourcesep_tpu import cli
+from audiosourcesep_tpu.data import get_mixture_toydata, get_song_extract, write_wav
+from audiosourcesep_tpu.models import build_glow
+from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
+from audiosourcesep_tpu.ops import db_to_power, mel_to_audio
+from audiosourcesep_tpu.parallel import make_mesh, replicate, shard_batch
+from audiosourcesep_tpu.separation import (BasisConfig, basis_separate,
+                                           make_stacked_glow_score,
+                                           make_stacked_ncsn_score,
+                                           postprocess, preprocess_mixture,
+                                           stack_pytrees)
+from audiosourcesep_tpu.training import (CheckpointManager, restore_pytree,
+                                         setup_tensorboard)
+
+SPEC_PARAMS = {"length_sec": 2.04, "dbmin": -100.0, "dbmax": 20.0,
+               "fmin": 125.0, "fmax": 7600.0, "n_fft": 2048,
+               "hop_length": 512, "n_mels": 96, "sr": 16000}
+
+
+def restore_ncsn_params(path, template):
+    """Restore from a checkpoint file or a directory containing ckpts."""
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        for cand in (path, os.path.join(path, "ckpts")):
+            if os.path.isdir(cand):
+                latest = CheckpointManager(cand).latest()
+                if latest is not None:
+                    state, _ = restore_pytree(latest, {"params": template},
+                                              strict=False)
+                    return state["params"]
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    state, _ = restore_pytree(path, {"params": template}, strict=False)
+    return state["params"]
+
+
+def main(args):
+    abs_restore_1 = os.path.abspath(args.RESTORE1)
+    abs_restore_2 = os.path.abspath(args.RESTORE2)
+    args = cli.apply_config_override(args)
+
+    sigmas = get_sigmas(args.sigma1, args.sigmaL, int(args.num_classes),
+                        args.progression)
+
+    if args.dataset in ("mnist", "cifar10"):
+        args.data_shape = [32, 32, 1] if args.dataset == "mnist" \
+            else [32, 32, 3]
+        data_type = "image"
+        minval, maxval = 0.0, 256.0
+    else:
+        if args.song_dir is None:
+            raise ValueError("song_dir is None")
+        song_dir = os.path.abspath(args.song_dir)
+        args.data_shape = [args.height, args.width, 1]
+        data_type = "melspec"
+        if args.scale == "power":
+            minval, maxval = 1e-10, 100.0
+        elif args.scale == "dB":
+            minval, maxval = -100.0, 20.0
+        else:
+            raise ValueError("scale should be 'power' or 'dB'")
+
+    log_file = cli.setup_output_dir(args.output, args.debug)
+    train_writer, _ = setup_tensorboard()
+    alpha = args.alpha or 1e-6
+
+    # ---------------- data -------------------------------------------------
+    t0 = time.time()
+    stft_mixture = None
+    raw_audio = None
+    rng = jax.random.PRNGKey(args.seed)
+    rng, k_data, k1, k2 = jax.random.split(rng, 4)
+    if data_type == "image":
+        mixed, x1, x2, gt1, gt2, minibatch = get_mixture_toydata(
+            dataset=args.dataset, n_mixed=args.n_mixed, seed=args.seed)
+    else:
+        spec = dict(SPEC_PARAMS, use_dB=(args.scale == "dB"),
+                    n_mels=args.height)
+        duration = spec["length_sec"] * args.n_mixed
+        mel_spec, raw_audio, stft_mixture = get_song_extract(
+            os.path.join(song_dir, "mix.wav"),
+            os.path.join(song_dir, "piano.wav"),
+            os.path.join(song_dir, "violin.wav"), duration, **spec)
+        mixed = jnp.asarray(mel_spec[0])
+        gt1, gt2 = jnp.asarray(mel_spec[1]), jnp.asarray(mel_spec[2])
+        minibatch = gt1
+        mixed = preprocess_mixture(mixed, minval, maxval, args.use_logit,
+                                   alpha)
+        x1 = jax.random.uniform(k1, mixed.shape)
+        x2 = jax.random.uniform(k2, mixed.shape)
+        write_wav("ground_truth1.wav", raw_audio[1], spec["sr"])
+        write_wav("ground_truth2.wav", raw_audio[2], spec["sr"])
+        write_wav("mix.wav", raw_audio[0], spec["sr"])
+    print(f"Data Loaded in {round(time.time() - t0, 3)} seconds")
+
+    # ---------------- models ----------------------------------------------
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if args.model_type == "glow":
+        rng, k_init = jax.random.split(rng)
+        model, template = build_glow(
+            k_init, jnp.asarray(minibatch, jnp.float32),
+            args.data_shape, L=args.L, K=args.K, n_filters=args.n_filters,
+            learntop=args.learntop, data_type=data_type,
+            use_logit=args.use_logit, alpha=alpha,
+            minval=minval, maxval=maxval)
+        # pre-stack per-noise-level params for both models: [L_sigma, 2, ...]
+        per_level = []
+        for sigma in sigmas:
+            level_params = []
+            for root in (abs_restore_1, abs_restore_2):
+                d = os.path.join(root, f"sigma_{round(float(sigma), 2)}",
+                                 "ckpts")
+                p = restore_ncsn_params(d, template)
+                level_params.append(p)
+                print(f"Model at noise level {sigma} restored from {d}")
+            per_level.append(stack_pytrees(*level_params))
+        stacked = stack_pytrees(*per_level)
+        if mesh is not None:
+            stacked = replicate(stacked, mesh)
+        score_fn = make_stacked_glow_score(model.log_prob, stacked)
+    else:
+        model = get_score_model(args.version, args.data_shape,
+                                args.n_filters, int(args.num_classes),
+                                sigmas=sigmas,
+                                logit_transform=args.use_logit)
+        rng, k_init = jax.random.split(rng)
+        template = model.init_params(k_init)
+        p1 = restore_ncsn_params(abs_restore_1, template)
+        print(f"Model 1 restored from {abs_restore_1}")
+        p2 = restore_ncsn_params(abs_restore_2, template)
+        print(f"Model 2 restored from {abs_restore_2}")
+        stacked = stack_pytrees(p1, p2)
+        if mesh is not None:
+            stacked = replicate(stacked, mesh)
+        score_fn = make_stacked_ncsn_score(model.apply, stacked)
+
+    cli.print_params(args, train_writer)
+
+    # ---------------- separation ------------------------------------------
+    x_init = jnp.stack([x1, x2])
+    mixed_dev = jnp.asarray(mixed)
+    if mesh is not None:
+        x_init = shard_batch(x_init, mesh, batch_axis=1)
+        mixed_dev = shard_batch(mixed_dev, mesh, batch_axis=0)
+
+    cfg = BasisConfig(T=args.T, delta=2e-5, data_type=data_type,
+                      scale=args.scale, collect_trajectory=True)
+    t0 = time.time()
+    rng, k_sep = jax.random.split(rng)
+    x_final, traj = jax.block_until_ready(
+        basis_separate(score_fn, mixed_dev, x_init, sigmas, k_sep, cfg))
+    print(f"Duration: {round(time.time() - t0, 3)} seconds")
+
+    # ---------------- save results ----------------------------------------
+    def post(x):
+        return np.asarray(postprocess(jnp.asarray(x), minval, maxval,
+                                      args.use_logit, alpha, data_type))
+
+    x1_out = post(np.asarray(x_final[0]).squeeze())
+    x2_out = post(np.asarray(x_final[1]).squeeze())
+    mixed_out = post(np.asarray(mixed).squeeze())
+    np.savez("results", x1=x1_out, x2=x2_out,
+             gt1=np.asarray(gt1).squeeze(), gt2=np.asarray(gt2).squeeze(),
+             mixed=mixed_out, stft_mixture=stft_mixture)
+    np.savez("results_convergence", x1=post(np.asarray(traj[:, 0])),
+             x2=post(np.asarray(traj[:, 1])))
+
+    if data_type == "melspec" and args.inverse:
+        sr = SPEC_PARAMS["sr"]
+        x1_concat = np.concatenate(list(x1_out), axis=-1)
+        x2_concat = np.concatenate(list(x2_out), axis=-1)
+        mels = jnp.asarray(np.stack([x1_concat, x2_concat]))
+        if args.scale == "dB":
+            mels = db_to_power(mels)
+        rng, k_inv = jax.random.split(rng)
+        audio = np.asarray(mel_to_audio(
+            mels, k_inv, sr=sr, n_fft=SPEC_PARAMS["n_fft"],
+            hop_length=SPEC_PARAMS["hop_length"],
+            fmin=SPEC_PARAMS["fmin"], fmax=SPEC_PARAMS["fmax"]))
+        write_wav("sep1.wav", audio[0], sr)
+        write_wav("sep2.wav", audio[1], sr)
+
+    log_file.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="BASIS Separation")
+    parser.add_argument("RESTORE1", type=str,
+                        help="directory of saved model1")
+    parser.add_argument("RESTORE2", type=str,
+                        help="directory of saved model2")
+    parser.add_argument("--output", type=str, default="basis_sep")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--dataset", type=str, default="melspec",
+                        help="mnist | cifar10 | melspec")
+    parser.add_argument("--song_dir", type=str, default=None,
+                        help="dir with mix.wav, piano.wav, violin.wav")
+    parser.add_argument("--inverse", action="store_true")
+    parser.add_argument("--model_type", type=str, default="ncsn")
+    parser.add_argument("--version", type=str, default="v1")
+    parser.add_argument("--n_mixed", type=int, default=30)
+    parser.add_argument("--config", type=str)
+    parser.add_argument("--seed", type=int, default=0)
+    # spectrograms
+    parser.add_argument("--height", type=int, default=96)
+    parser.add_argument("--width", type=int, default=64)
+    parser.add_argument("--scale", type=str, default="dB")
+    # BASIS
+    parser.add_argument("--T", type=int, default=100)
+    parser.add_argument("--sigma1", type=float, default=1.0)
+    parser.add_argument("--sigmaL", type=float, default=0.01)
+    parser.add_argument("--num_classes", type=float, default=10)
+    parser.add_argument("--progression", type=str, default="geometric")
+    # model hyperparameters
+    parser.add_argument("--n_filters", type=int, default=192)
+    parser.add_argument("--L", type=int, default=3)
+    parser.add_argument("--K", type=int, default=32)
+    parser.add_argument("--l2_reg", type=float, default=None)
+    parser.add_argument("--learntop", action="store_true")
+    # optimization (unused at separation time; kept for config compat)
+    parser.add_argument("--optimizer", type=str, default="adamax")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    # preprocessing
+    parser.add_argument("--use_logit", action="store_true")
+    parser.add_argument("--alpha", type=float, default=1e-6)
+    main(parser.parse_args())

@@ -1,0 +1,122 @@
+"""End-to-end CLI pipeline test at tiny scale (CPU).
+
+Covers the full product path of SURVEY.md §3.3: wav -> mel TFRecords ->
+NCSN training -> BASIS separation -> mel inversion, through the actual CLI
+scripts (subprocess), checking the reference's output contracts
+(results.npz keys, out.log, checkpoint layout, wav outputs).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from audiosourcesep_tpu.data import write_wav
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(script, *args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True, text=True, cwd=cwd or REPO, timeout=1200)
+    assert result.returncode == 0, (
+        f"{script} failed:\nSTDOUT:\n{result.stdout[-3000:]}\n"
+        f"STDERR:\n{result.stderr[-3000:]}")
+    return result
+
+
+@pytest.fixture(scope="module")
+def song_dir(tmp_path_factory):
+    """Synthetic 10 s piano/violin/mix wavs at 16 kHz."""
+    d = tmp_path_factory.mktemp("song")
+    sr, dur = 16000, 10.0
+    t = np.arange(int(sr * dur)) / sr
+    piano = 0.4 * np.sin(2 * np.pi * 220.0 * t) * (1 + 0.3 * np.sin(
+        2 * np.pi * 2.0 * t))
+    violin = 0.4 * np.sin(2 * np.pi * 554.4 * t + 3 * np.sin(
+        2 * np.pi * 5.0 * t))
+    mix = 0.5 * (piano + violin)
+    write_wav(str(d / "piano.wav"), piano.astype(np.float32), sr)
+    write_wav(str(d / "violin.wav"), violin.astype(np.float32), sr)
+    write_wav(str(d / "mix.wav"), mix.astype(np.float32), sr)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory, song_dir):
+    """wav_to_spec over the synthetic wavs -> train/test TFRecord layout."""
+    root = tmp_path_factory.mktemp("melspec_ds")
+    for split in ("train", "test"):
+        run_cli("wav_to_spec.py", song_dir, str(root / split),
+                "--use_dB", "--tfrecords")
+    # sanity: records are readable and have the right shape
+    from audiosourcesep_tpu.data import load_tf_records
+    recs = load_tf_records([str(root / "train" / "piano.tfrecord")])
+    assert recs and recs[0].shape == (96, 64)
+    assert recs[0].min() >= -100.0 and recs[0].max() <= 20.0
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained_ncsn_dir(tmp_path_factory, dataset_dir):
+    out = str(tmp_path_factory.mktemp("runs") / "ncsn_tiny")
+    run_cli("train_ncsn.py", "--dataset", dataset_dir, "--output", out,
+            "--debug", "--n_filters", "4", "--num_classes", "2",
+            "--n_epochs", "1", "--batch_size", "2", "--T", "1",
+            "--version", "v1")
+    assert os.path.exists(os.path.join(out, "ckpts", "checkpoint.json"))
+    assert os.path.exists(os.path.join(out, "out.log"))
+    return out
+
+
+class TestPipeline:
+    def test_wav_to_spec_outputs(self, dataset_dir):
+        assert os.path.exists(os.path.join(dataset_dir, "train",
+                                           "out.log"))
+
+    def test_train_ncsn_checkpoint(self, trained_ncsn_dir):
+        pass  # fixture asserts
+
+    def test_basis_separation_and_inversion(self, tmp_path_factory,
+                                            trained_ncsn_dir, song_dir):
+        out = str(tmp_path_factory.mktemp("runs") / "basis_tiny")
+        run_cli("run_basis_sep.py", trained_ncsn_dir, trained_ncsn_dir,
+                "--output", out, "--debug", "--dataset", "melspec",
+                "--song_dir", song_dir, "--model_type", "ncsn",
+                "--version", "v1", "--n_mixed", "2", "--T", "2",
+                "--num_classes", "2", "--n_filters", "4")
+        results = np.load(os.path.join(out, "results.npz"))
+        for key in ("x1", "x2", "gt1", "gt2", "mixed", "stft_mixture"):
+            assert key in results, key
+        assert results["x1"].shape == (2, 96, 64)
+        assert np.isfinite(results["x1"]).all()
+        assert results["stft_mixture"].dtype.kind == "c"
+        conv = np.load(os.path.join(out, "results_convergence.npz"))
+        assert conv["x1"].shape[0] == 3  # init + 2 levels
+        for wav in ("mix.wav", "ground_truth1.wav", "ground_truth2.wav"):
+            assert os.path.exists(os.path.join(out, wav))
+
+        # inversion CLI on the results
+        run_cli("melspec_inversion_basis.py", out, "--debug",
+                "--algorithm", "reuse_phase", "--method", "frame",
+                "--wiener_filter")
+        inv_dir = os.path.join(out, "inverse_reuse_phase_frame"
+                                    "_wiener_filter")
+        for wav in ("sep1.wav", "sep2.wav", "gt1.wav", "gt2.wav",
+                    "mix.wav"):
+            assert os.path.exists(os.path.join(inv_dir, wav))
+        inv = np.load(os.path.join(inv_dir, "inverse_spectrograms.npz"))
+        assert np.isfinite(inv["x1_audio"]).all()
+
+    def test_technique2and4(self):
+        r = run_cli("technique2and4_ncsnv2.py", "--D", "96,64,1",
+                    "--T", "5", "--sigma1", "55.", "--sigmaL", "0.01")
+        assert "gamma=" in r.stdout
+        assert "epsilon=" in r.stdout

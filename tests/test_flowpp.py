@@ -1,0 +1,93 @@
+"""Flow++ tests: MixLogCDF math, coupling invertibility, full model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiosourcesep_tpu.bijectors.flowpp_nets import ConvAttnNet
+from audiosourcesep_tpu.bijectors.mixlogcdf import (MixLogisticCDFCoupling,
+                                                    mixlog_inv_cdf,
+                                                    mixlog_logcdf,
+                                                    mixlog_logpdf)
+from audiosourcesep_tpu.models import (FlowppBlock, FlowppCifar10,
+                                       build_flowpp)
+
+
+class TestMixLogMath:
+    def test_cdf_monotone_and_bounded(self):
+        key = jax.random.PRNGKey(0)
+        logits = jax.random.normal(key, (5, 4))
+        means = jax.random.normal(jax.random.PRNGKey(1), (5, 4))
+        log_scales = -jnp.abs(jax.random.normal(jax.random.PRNGKey(2),
+                                                (5, 4)))
+        xs = jnp.linspace(-10, 10, 5)
+        cdf = np.exp(np.asarray(mixlog_logcdf(xs, logits, means,
+                                              log_scales)))
+        assert (cdf >= 0).all() and (cdf <= 1).all()
+
+    def test_pdf_integrates_cdf(self):
+        # d/dx CDF == pdf (finite difference check)
+        logits = jnp.asarray([[0.3, -0.2]])
+        means = jnp.asarray([[0.5, -1.0]])
+        log_scales = jnp.asarray([[-0.5, -1.0]])
+        x = jnp.asarray([0.2])
+        eps = 1e-4
+        c1 = jnp.exp(mixlog_logcdf(x + eps, logits, means, log_scales))
+        c0 = jnp.exp(mixlog_logcdf(x - eps, logits, means, log_scales))
+        pdf = jnp.exp(mixlog_logpdf(x, logits, means, log_scales))
+        np.testing.assert_allclose(np.asarray((c1 - c0) / (2 * eps)),
+                                   np.asarray(pdf), rtol=1e-3)
+
+    def test_inv_cdf_roundtrip(self):
+        logits = jax.random.normal(jax.random.PRNGKey(3), (16, 8))
+        means = 2 * jax.random.normal(jax.random.PRNGKey(4), (16, 8))
+        log_scales = -jnp.abs(jax.random.normal(jax.random.PRNGKey(5),
+                                                (16, 8)))
+        x = jnp.linspace(-3, 3, 16)
+        u = jnp.exp(mixlog_logcdf(x, logits, means, log_scales))
+        x_rec = mixlog_inv_cdf(u, logits, means, log_scales)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                                   atol=1e-3)
+
+
+class TestFlowppCoupling:
+    @pytest.mark.parametrize("split", ["channel", "checkerboard"])
+    def test_invertibility(self, split):
+        shape = (4, 4, 2)
+        nn_shape = (4, 4, 1) if split == "channel" else (4, 2, 2)
+        net = ConvAttnNet(nn_shape, n_components=3, n_blocks=1, filters=8)
+        bij = MixLogisticCDFCoupling(net, split, 0)
+        x = 0.5 * jax.random.normal(jax.random.PRNGKey(6), (2, *shape))
+        params = bij.init_params(jax.random.PRNGKey(7), x)
+        y, fldj = bij.forward(params, x)
+        x_rec, fldj_inv = bij.inverse(params, y)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(fldj), np.asarray(fldj_inv),
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_block_roundtrip(self):
+        block = FlowppBlock((4, 4, 2), 2, "channel", n_components=2,
+                            n_blocks=1, filters=8)
+        x = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (2, 4, 4, 2))
+        params, z = block.init(jax.random.PRNGKey(9), x)
+        y, _ = block.forward(params, x)
+        x_rec, _ = block.inverse(params, y)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                                   atol=5e-3)
+
+
+class TestFlowppModel:
+    def test_log_prob_finite_and_samples(self):
+        x = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, size=(2, 4, 4, 1)).astype(np.float32))
+        model, params = build_flowpp(jax.random.PRNGKey(10), x, (4, 4, 1),
+                                     n_components=2, n_blocks_flow=1,
+                                     n_blocks_dequant=1, filters=8)
+        lp = model.log_prob(params, x, jax.random.PRNGKey(11))
+        assert lp.shape == (2,)
+        assert bool(jnp.isfinite(lp).all())
+        s = model.sample(params, jax.random.PRNGKey(12), 2)
+        assert s.shape == (2, 4, 4, 1)
+        assert bool(jnp.isfinite(s).all())
