@@ -21,3 +21,27 @@ pytrees, loops are ``lax.scan``, and models compile once under ``jax.jit``.
 """
 
 __version__ = "0.1.0"
+
+# Respect JAX_PLATFORMS even when a site-wide plugin registration has
+# already overridden jax.config (this container's sitecustomize registers
+# the TPU plugin and resets jax_platforms at interpreter start, which would
+# silently ignore e.g. JAX_PLATFORMS=cpu in subprocesses/tests).
+import os as _os
+
+
+def _honor_jax_platforms_env() -> None:
+    env = _os.environ.get("JAX_PLATFORMS")
+    # only enforce an explicit CPU request (tests / CI subprocesses); the
+    # accelerator platform string is plugin-defined and best left alone
+    if not env or env.split(",")[0] != "cpu":
+        return
+    try:
+        import jax as _jax
+        current = _jax.config.jax_platforms or ""
+        if current.split(",")[0] != "cpu":
+            _jax.config.update("jax_platforms", env)
+    except Exception:
+        pass
+
+
+_honor_jax_platforms_env()

@@ -82,23 +82,29 @@ def anneal_langevin_dynamics(score_apply: Callable, params, x_init: Array,
     L = sigmas.shape[0]
     n = x_init.shape[0]
 
-    def level_body(x, level):
-        sigma_idx, key = level
-        alpha = step_lr * jnp.square(sigmas[sigma_idx] / sigmas[-1])
-        labels = jnp.full((n,), sigma_idx, jnp.int32)
+    # jit with params as an ARGUMENT: a closure would embed the weights as
+    # constants in the compiled program (hundreds of MB for real models)
+    @jax.jit
+    def _run(params, x_init, levels):
+        def level_body(x, level):
+            sigma_idx, key = level
+            alpha = step_lr * jnp.square(sigmas[sigma_idx] / sigmas[-1])
+            labels = jnp.full((n,), sigma_idx, jnp.int32)
 
-        def step_body(x, k):
-            noise = (jax.random.normal(k, x.shape, x.dtype)
-                     * jnp.sqrt(2.0 * alpha).astype(x.dtype))
-            grad = score_apply(params, x, labels)
-            return x + alpha.astype(x.dtype) * grad + noise, None
+            def step_body(x, k):
+                noise = (jax.random.normal(k, x.shape, x.dtype)
+                         * jnp.sqrt(2.0 * alpha).astype(x.dtype))
+                grad = score_apply(params, x, labels)
+                return x + alpha.astype(x.dtype) * grad + noise, None
 
-        x, _ = jax.lax.scan(step_body, x,
-                            jax.random.split(key, n_steps_each))
-        return x, x
+            x, _ = jax.lax.scan(step_body, x,
+                                jax.random.split(key, n_steps_each))
+            return x, x
+
+        return jax.lax.scan(level_body, x_init, levels)
 
     levels = (jnp.arange(L), jax.random.split(rng, L))
-    x_final, x_per_level = jax.lax.scan(level_body, x_init, levels)
+    x_final, x_per_level = _run(params, x_init, levels)
     if return_arr:
         return jnp.concatenate([x_init[None], x_per_level], axis=0)
     return x_final

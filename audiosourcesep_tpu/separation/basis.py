@@ -80,6 +80,82 @@ def make_stacked_glow_score(log_prob_fn: Callable, per_level_params
     return score
 
 
+def ncsn_score_fn(model_apply: Callable) -> Callable:
+    """Parameter-explicit stacked NCSN score:
+    ``score(params, x [K,N,...], sigma_idx, level) -> [K,N,...]``."""
+    vapply = jax.vmap(model_apply, in_axes=(0, 0, None))
+
+    def score(params, x: Array, sigma_idx: Array, level: Array) -> Array:
+        del level
+        return vapply(params, x, sigma_idx)
+
+    return score
+
+
+def glow_score_fn(log_prob_fn: Callable) -> Callable:
+    """Parameter-explicit Glow score with per-level param stacks
+    ``[L, K, ...]``: ``score(params, x, sigma_idx, level)``."""
+    def single_score(params, x):
+        return jax.grad(lambda v: jnp.sum(log_prob_fn(params, v)))(x)
+
+    vscore = jax.vmap(single_score, in_axes=(0, 0))
+
+    def score(params, x: Array, sigma_idx: Array, level: Array) -> Array:
+        params_l = jax.tree_util.tree_map(lambda p: p[level], params)
+        return vscore(params_l, x)
+
+    return score
+
+
+def basis_separate_per_level(score_fn: Callable, params, mixed: Array,
+                             x_init: Array, sigmas, rng: Array,
+                             config: BasisConfig = BasisConfig(),
+                             callback: Optional[Callable] = None):
+    """BASIS with one jitted XLA program dispatched per noise level.
+
+    Identical math to :func:`basis_separate`, but the outer (noise-level)
+    loop runs on the host: ``L`` dispatches of a T-step scan instead of one
+    L*T program. Preferred for production runs — per-level host control
+    gives progress reporting/snapshots (the reference logs per level,
+    run_basis_sep.py:227), avoids very long single device executions, and
+    compiles an order of magnitude faster. ``score_fn`` takes params
+    explicitly (``(params, x, sigma_idx, level) -> scores``) so model
+    weights are jit arguments, not baked-in constants.
+    """
+    g, grad_g = mixing_process(config.data_type, config.scale)
+    sigmas_arr = jnp.asarray(sigmas)
+    L = sigmas_arr.shape[0]
+    N = x_init.shape[1]
+
+    @jax.jit
+    def run_level(params, x, mixed, level, key):
+        sigma = sigmas_arr[level]
+        eta = config.delta * jnp.square(sigma / sigmas_arr[-1])
+        lam = 1.0 / jnp.square(sigma)
+        labels = jnp.full((N,), level, jnp.int32)
+
+        def step_body(x, k):
+            noise = (jax.random.normal(k, x.shape, x.dtype)
+                     * jnp.sqrt(2.0 * eta).astype(x.dtype))
+            scores = score_fn(params, x, labels, level)
+            recon = (lam.astype(x.dtype) * grad_g(x) * (mixed - g(x)))
+            return x + eta.astype(x.dtype) * (scores + recon) + noise, None
+
+        x, _ = jax.lax.scan(step_body, x, jax.random.split(key, config.T))
+        return x
+
+    keys = jax.random.split(rng, L)
+    x = x_init
+    traj = [x_init] if config.collect_trajectory else None
+    for level in range(L):
+        x = run_level(params, x, mixed, jnp.asarray(level), keys[level])
+        if config.collect_trajectory:
+            traj.append(x)
+        if callback is not None:
+            callback(level, x)
+    return x, (jnp.stack(traj) if config.collect_trajectory else None)
+
+
 def basis_separate(score_fn: Callable, mixed: Array, x_init: Array,
                    sigmas: Array, rng: Array,
                    config: BasisConfig = BasisConfig()):

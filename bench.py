@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
-from audiosourcesep_tpu.separation import (BasisConfig, basis_separate,
-                                           make_stacked_ncsn_score,
-                                           stack_pytrees)
+from audiosourcesep_tpu.separation import (BasisConfig,
+                                           basis_separate_per_level,
+                                           ncsn_score_fn, stack_pytrees)
 
 BASELINE_SECONDS = 1411.5  # basis_sep_results/beethoven_sonata_1_sep_1min
 
@@ -44,24 +44,26 @@ def main():
     p1 = model.init_params(k0)
     p2 = model.init_params(k1)
     stacked = stack_pytrees(p1, p2)
-    score_fn = make_stacked_ncsn_score(model.apply, stacked)
 
     mixed = jax.random.normal(k2, (N_FRAMES, *DATA_SHAPE)) * 0.2 + 0.5
     x_init = jax.random.uniform(k3, (2, N_FRAMES, *DATA_SHAPE))
 
     cfg = BasisConfig(T=T, delta=2e-5, data_type="melspec", scale="dB",
                       collect_trajectory=False)
+    score = ncsn_score_fn(model.apply)
 
-    run = jax.jit(lambda m, x, key: basis_separate(
-        score_fn, m, x, sigmas, key, cfg)[0])
+    def run(key):
+        out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
+                                          sigmas, key, cfg)
+        return jax.block_until_ready(out)
 
     # compile (excluded: one-time cost, amortised in production serving)
     t_compile = time.time()
-    jax.block_until_ready(run(mixed, x_init, k4))
+    run(k4)
     compile_and_first = time.time() - t_compile
 
     t0 = time.time()
-    out = jax.block_until_ready(run(mixed, x_init, k4))
+    out = run(k4)
     elapsed = time.time() - t0
 
     assert bool(jnp.isfinite(out).all()), "non-finite separation output"

@@ -24,9 +24,9 @@ from audiosourcesep_tpu.models import build_glow
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
 from audiosourcesep_tpu.ops import db_to_power, mel_to_audio
 from audiosourcesep_tpu.parallel import make_mesh, replicate, shard_batch
-from audiosourcesep_tpu.separation import (BasisConfig, basis_separate,
-                                           make_stacked_glow_score,
-                                           make_stacked_ncsn_score,
+from audiosourcesep_tpu.separation import (BasisConfig,
+                                           basis_separate_per_level,
+                                           glow_score_fn, ncsn_score_fn,
                                            postprocess, preprocess_mixture,
                                            stack_pytrees)
 from audiosourcesep_tpu.training import (CheckpointManager, restore_pytree,
@@ -136,7 +136,7 @@ def main(args):
         stacked = stack_pytrees(*per_level)
         if mesh is not None:
             stacked = replicate(stacked, mesh)
-        score_fn = make_stacked_glow_score(model.log_prob, stacked)
+        score_fn = glow_score_fn(model.log_prob)
     else:
         model = get_score_model(args.version, args.data_shape,
                                 args.n_filters, int(args.num_classes),
@@ -151,7 +151,7 @@ def main(args):
         stacked = stack_pytrees(p1, p2)
         if mesh is not None:
             stacked = replicate(stacked, mesh)
-        score_fn = make_stacked_ncsn_score(model.apply, stacked)
+        score_fn = ncsn_score_fn(model.apply)
 
     cli.print_params(args, train_writer)
 
@@ -164,10 +164,16 @@ def main(args):
 
     cfg = BasisConfig(T=args.T, delta=2e-5, data_type=data_type,
                       scale=args.scale, collect_trajectory=True)
+
+    def progress(level, x):
+        print(f"Sigma = {sigmas[level]} ({level + 1} / {len(sigmas)}) done")
+
     t0 = time.time()
     rng, k_sep = jax.random.split(rng)
-    x_final, traj = jax.block_until_ready(
-        basis_separate(score_fn, mixed_dev, x_init, sigmas, k_sep, cfg))
+    x_final, traj = basis_separate_per_level(
+        score_fn, stacked, mixed_dev, x_init, sigmas, k_sep, cfg,
+        callback=progress)
+    x_final = jax.block_until_ready(x_final)
     print(f"Duration: {round(time.time() - t0, 3)} seconds")
 
     # ---------------- save results ----------------------------------------

@@ -126,3 +126,44 @@ class TestMultiChip:
         )(mixed_s, x0_s)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestPerLevelDispatch:
+    def test_matches_single_program(self):
+        from audiosourcesep_tpu.separation import (basis_separate_per_level,
+                                                   ncsn_score_fn)
+        sigmas = get_sigmas(1.0, 0.1, 3)
+        model = RefineNetDilated((8, 8, 1), 4, num_classes=3)
+        p1 = model.init_params(jax.random.PRNGKey(20))
+        p2 = model.init_params(jax.random.PRNGKey(21))
+        stacked = stack_pytrees(p1, p2)
+        mixed = jax.random.normal(jax.random.PRNGKey(22), (4, 8, 8, 1))
+        x0 = jax.random.uniform(jax.random.PRNGKey(23), (2, 4, 8, 8, 1))
+        rng = jax.random.PRNGKey(24)
+        cfg = BasisConfig(T=2, delta=1e-4)
+
+        score_bound = make_stacked_ncsn_score(model.apply, stacked)
+        ref, ref_traj = basis_separate(score_bound, mixed, x0, sigmas, rng,
+                                       cfg)
+        out, traj = basis_separate_per_level(
+            ncsn_score_fn(model.apply), stacked, mixed, x0, sigmas, rng,
+            cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_callback_invoked(self):
+        from audiosourcesep_tpu.separation import (basis_separate_per_level,
+                                                   ncsn_score_fn)
+        sigmas = get_sigmas(1.0, 0.1, 2)
+        model = RefineNetDilated((8, 8, 1), 4, num_classes=2)
+        stacked = stack_pytrees(model.init_params(jax.random.PRNGKey(25)),
+                                model.init_params(jax.random.PRNGKey(26)))
+        levels = []
+        basis_separate_per_level(
+            ncsn_score_fn(model.apply), stacked,
+            jnp.zeros((2, 8, 8, 1)), jnp.zeros((2, 2, 8, 8, 1)), sigmas,
+            jax.random.PRNGKey(27), BasisConfig(T=1),
+            callback=lambda lvl, x: levels.append(lvl))
+        assert levels == [0, 1]
