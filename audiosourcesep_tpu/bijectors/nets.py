@@ -123,3 +123,28 @@ class ConstantShiftAndLogScale:
     def apply(self, params, x):
         return (jnp.full_like(x, self.log_scale),
                 jnp.full_like(x, self.shift))
+
+
+class ShiftAndLogScaleDenseNet:
+    """4 relu dense layers + linear head -> (log_s, t) for 1-D events
+    (reference flow_tfk_layers.py:7-28)."""
+
+    def __init__(self, units: int):
+        self.units = units
+
+    def init_params(self, key, in_dim: int):
+        keys = jax.random.split(key, 5)
+        from .. import nn as _nn
+        dims = [in_dim] + [self.units] * 4
+        params = {f"dense{i+1}": _nn.dense_init(keys[i], dims[i], dims[i + 1])
+                  for i in range(4)}
+        params["dense5"] = _nn.dense_init(keys[4], self.units, 2 * in_dim)
+        return params
+
+    def apply(self, params, x):
+        h = x
+        for i in range(4):
+            h = jax.nn.relu(nn.dense(params[f"dense{i+1}"], h))
+        h = nn.dense(params["dense5"], h)
+        log_s, t = jnp.split(h, 2, axis=-1)
+        return jnp.tanh(log_s), t

@@ -222,3 +222,34 @@ def get_song_extract(mix_path: str, piano_path: str, violin_path: str,
         mels = jnp.clip(10.0 * jnp.log10(mels), dbmin, dbmax)
     mel_spec = [np.asarray(mels[i])[..., None] for i in range(3)]
     return mel_spec, raw_audio, stft_mixture
+
+
+# ---------------------------------------------------------------------------
+# npy spectrogram storage (preprocessing.py:128-184)
+# ---------------------------------------------------------------------------
+
+def save_mel_spectrograms(spectrograms, filename: str) -> int:
+    """Save each spectrogram as ``{filename}_{i}.npy``
+    (preprocessing.py:128-143)."""
+    count = 0
+    for i, spect in enumerate(spectrograms):
+        np.save(f"{filename}_{i}", np.asarray(spect))
+        count += 1
+    return count
+
+
+def load_spec(directory: str) -> List[np.ndarray]:
+    """Load all .npy spectrograms from one directory
+    (preprocessing.py:146-164)."""
+    files = sorted(f for f in os.listdir(directory) if f.endswith(".npy"))
+    return [np.load(os.path.join(directory, f)) for f in files]
+
+
+def load_spec_tf(directory: str) -> List[np.ndarray]:
+    """Walk a directory tree and load every .npy spectrogram
+    (preprocessing.py:167-184)."""
+    out: List[np.ndarray] = []
+    for root, _, files in os.walk(os.path.abspath(directory)):
+        if any(f.endswith(".npy") for f in files):
+            out.extend(load_spec(root))
+    return out

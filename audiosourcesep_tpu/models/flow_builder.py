@@ -32,7 +32,8 @@ def build_glow(key, minibatch, data_shape: Sequence[int], L: int = 3,
                K: int = 32, n_filters: int = 512, learntop: bool = True,
                data_type: str = "image", use_logit: bool = False,
                alpha: float = 1e-6, minval: float = -100.0,
-               maxval: float = 20.0) -> Tuple[FlowModel, dict]:
+               maxval: float = 20.0,
+               remat: bool = False) -> Tuple[FlowModel, dict]:
     """Glow with L-level multi-scale bijector (reference flow_builder.py:60-146).
 
     ``data_type='image'`` uses dequantising :class:`ImgPreprocessing`;
@@ -47,7 +48,8 @@ def build_glow(key, minibatch, data_shape: Sequence[int], L: int = 3,
     else:
         prep = SpecPreprocessing(minval=minval, maxval=maxval,
                                  alpha=alpha or 1e-10, use_logit=use_logit)
-    glow = GlowMultiScale(L, K, make_conv_net_factory(n_filters))
+    glow = GlowMultiScale(L, K, make_conv_net_factory(n_filters),
+                          remat=remat)
     bijector = Chain([prep, glow], name="glow_flow")
     model = FlowModel(bijector, _prior(glow.base_event_shape(data_shape),
                                        learntop))

@@ -44,12 +44,25 @@ class GlowMultiScale(Bijector):
 
     name = "glow_multiscale"
 
-    def __init__(self, L: int, K: int, net_factory):
+    def __init__(self, L: int, K: int, net_factory, remat: bool = False):
         assert L >= 2
         self.L = L
         self.K = K
+        # remat: rematerialise each block's forward under grad — trades
+        # FLOPs for HBM when differentiating through the whole chain (the
+        # BASIS Glow-prior path computes grad(log_prob) every Langevin
+        # step; SURVEY.md §7 'memory/recompute tradeoffs')
+        self.remat = remat
         self.blocks = [glow_block(K, net_factory, name=f"block{l+1}")
                        for l in range(L)]
+
+    def _block_forward(self, l, params, h, rng):
+        fwd = self.blocks[l].forward
+        if self.remat:
+            fwd = jax.checkpoint(
+                lambda p, x: self.blocks[l].forward(p, x, None))
+            return fwd(params, h)
+        return fwd(params, h, rng)
 
     def base_event_shape(self, data_shape):
         H, W, C = data_shape
@@ -85,7 +98,8 @@ class GlowMultiScale(Bijector):
         zs = []
         h = x
         for l, block in enumerate(self.blocks):
-            out, fldj = block.forward(params[f"block{l+1}"], h, rng)
+            out, fldj = self._block_forward(l, params[f"block{l+1}"], h,
+                                            rng)
             total = total + fldj
             if l < self.L - 1:
                 z, h = jnp.split(out, 2, axis=-1)

@@ -48,14 +48,16 @@ class InstanceNorm2dPlus:
         return p
 
     def apply(self, params, x, y=None):
-        means = jnp.mean(x, axis=(1, 2), keepdims=True)      # (N,1,1,C)
+        xf = x.astype(jnp.float32)
+        means = jnp.mean(xf, axis=(1, 2), keepdims=True)     # (N,1,1,C)
         m = jnp.mean(means, axis=-1, keepdims=True)
         v = jnp.var(means, axis=-1, keepdims=True)
-        means = (means - m) * jax.lax.rsqrt(v + 1e-5)
+        means = ((means - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
         h = nn.instance_norm(params["in"], x)
-        out = params["gamma"] * h + means * params["alpha"]
+        out = (params["gamma"].astype(x.dtype) * h
+               + means * params["alpha"].astype(x.dtype))
         if self.bias:
-            out = out + params["beta"]
+            out = out + params["beta"].astype(x.dtype)
         return out
 
 
@@ -83,16 +85,18 @@ class ConditionalInstanceNorm2dPlus:
         return p
 
     def apply(self, params, x, y):
-        means = jnp.mean(x, axis=(1, 2), keepdims=True)
+        xf = x.astype(jnp.float32)
+        means = jnp.mean(xf, axis=(1, 2), keepdims=True)
         m = jnp.mean(means, axis=-1, keepdims=True)
         v = jnp.var(means, axis=-1, keepdims=True)
-        means = (means - m) * jax.lax.rsqrt(v + 1e-5)
+        means = ((means - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
         h = nn.instance_norm(params["in"], x)
-        gamma = params["embed_gamma"][y][:, None, None, :]
-        alpha = params["embed_alpha"][y][:, None, None, :]
+        gamma = params["embed_gamma"][y][:, None, None, :].astype(x.dtype)
+        alpha = params["embed_alpha"][y][:, None, None, :].astype(x.dtype)
         out = gamma * h + means * alpha
         if self.bias:
-            out = out + params["embed_beta"][y][:, None, None, :]
+            out = out + params["embed_beta"][y][:, None, None,
+                                               :].astype(x.dtype)
         return out
 
 

@@ -33,7 +33,8 @@ class RefineNetDilated:
     def __init__(self, data_shape: Sequence[int], ngf: int,
                  num_classes: Optional[int] = None,
                  sigmas: Optional[np.ndarray] = None,
-                 logit_transform: bool = False, deeper: bool = False):
+                 logit_transform: bool = False, deeper: bool = False,
+                 compute_dtype=None):
         assert (num_classes is None) != (sigmas is None), \
             "exactly one of num_classes (v1) / sigmas (v2) must be given"
         self.data_shape = tuple(data_shape)
@@ -42,6 +43,10 @@ class RefineNetDilated:
         self.sigmas = None if sigmas is None else jnp.asarray(sigmas)
         self.logit_transform = logit_transform
         self.deeper = deeper
+        # compute_dtype=bfloat16 runs every conv on the MXU in bf16 (norm
+        # statistics stay f32, output returns f32) -- the TPU-native fast
+        # path for the Langevin/BASIS loops; None keeps the input dtype
+        self.compute_dtype = compute_dtype
         self.act = jax.nn.elu
         nc = num_classes
         C = self.data_shape[-1]
@@ -106,8 +111,11 @@ class RefineNetDilated:
 
     def apply(self, params: dict, x: Array, sigma_idx: Array) -> Array:
         y = sigma_idx
+        in_dtype = x.dtype
         if self.num_classes is not None and not self.logit_transform:
             x = 2.0 * x - 1.0
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
 
         h = nn.conv2d(params["begin_conv"], x)
 
@@ -128,6 +136,7 @@ class RefineNetDilated:
         out = self.act(out)
         out = nn.conv2d(params["end_conv"], out)
 
+        out = out.astype(in_dtype)
         if self.sigmas is not None:
             used = self.sigmas[y].astype(out.dtype)
             out = out / used[:, None, None, None]
@@ -142,15 +151,17 @@ class RefineNetDilated:
 def get_score_model(version: str, data_shape, n_filters: int,
                     num_classes: int, sigmas=None,
                     logit_transform: bool = False,
-                    deeper: bool = False) -> RefineNetDilated:
+                    deeper: bool = False,
+                    compute_dtype=None) -> RefineNetDilated:
     """Factory mirroring ncsn/utils.py:41-64: v1 takes the class count,
     v2 takes the sigma schedule."""
     if version == "v1":
         return RefineNetDilated(data_shape, n_filters,
                                 num_classes=num_classes,
-                                logit_transform=logit_transform)
+                                logit_transform=logit_transform,
+                                compute_dtype=compute_dtype)
     elif version == "v2":
         return RefineNetDilated(data_shape, n_filters, sigmas=sigmas,
                                 logit_transform=logit_transform,
-                                deeper=deeper)
+                                deeper=deeper, compute_dtype=compute_dtype)
     raise ValueError("version should be 'v1' or 'v2'")

@@ -124,10 +124,14 @@ def instance_norm_init(num_features: int, scale_offset: bool = True,
 
 
 def instance_norm(params: dict, x: Array, eps: float = 1e-3) -> Array:
-    """Per-sample, per-channel normalisation over H, W (tfa default eps=1e-3)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    h = (x - mean) * jax.lax.rsqrt(var + eps)
+    """Per-sample, per-channel normalisation over H, W (tfa default eps=1e-3).
+
+    Statistics accumulate in float32 regardless of compute dtype (bf16
+    variance over thousands of pixels loses too much precision)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if "gamma" in params:
         h = h * params["gamma"].astype(x.dtype) + params["beta"].astype(x.dtype)
     return h

@@ -1,5 +1,7 @@
-from .mesh import (DATA_AXIS, make_mesh, batch_sharding, replicated,
-                   shard_batch, replicate, pad_to_multiple)
+from .mesh import (DATA_AXIS, make_mesh, make_mesh_for_batch,
+                   batch_sharding, replicated, shard_batch, replicate,
+                   pad_to_multiple, init_distributed)
 
-__all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
-           "shard_batch", "replicate", "pad_to_multiple"]
+__all__ = ["DATA_AXIS", "make_mesh", "make_mesh_for_batch",
+           "batch_sharding", "replicated", "shard_batch", "replicate",
+           "pad_to_multiple", "init_distributed"]

@@ -49,3 +49,36 @@ def replicate(params: Any, mesh: Mesh) -> Any:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def make_mesh_for_batch(batch_size: int,
+                        axis_name: str = DATA_AXIS) -> Optional[Mesh]:
+    """Data mesh over the largest device count that divides ``batch_size``.
+
+    Returns ``None`` when only one device would be used (callers then skip
+    sharding entirely).
+    """
+    n = jax.device_count()
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return make_mesh(jax.devices()[:n], axis_name)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialise multi-host JAX (TPU pods / multi-slice).
+
+    Thin wrapper over ``jax.distributed.initialize``; on Cloud TPU the
+    arguments are auto-detected from the environment. Call before any other
+    JAX API in each host process. (The reference is single-host only —
+    SURVEY.md §2 "Multi-host / elastic: Absent"; this extends it.)
+    """
+    import jax.distributed
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -15,11 +15,22 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the first XLA compile of the separation
+# program costs ~10 min through this backend; cache it across processes
+os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
 from audiosourcesep_tpu.separation import (BasisConfig,
@@ -38,7 +49,9 @@ T = 100
 
 def main():
     sigmas = get_sigmas(1.0, 0.01, NUM_CLASSES, "logarithmic")
-    model = get_score_model("v1", DATA_SHAPE, N_FILTERS, NUM_CLASSES)
+    # bf16 on the MXU (norm stats stay f32): the TPU-native compute dtype
+    model = get_score_model("v1", DATA_SHAPE, N_FILTERS, NUM_CLASSES,
+                            compute_dtype=jnp.bfloat16)
 
     k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
     p1 = model.init_params(k0)

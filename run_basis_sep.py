@@ -23,7 +23,8 @@ from audiosourcesep_tpu.data import get_mixture_toydata, get_song_extract, write
 from audiosourcesep_tpu.models import build_glow
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
 from audiosourcesep_tpu.ops import db_to_power, mel_to_audio
-from audiosourcesep_tpu.parallel import make_mesh, replicate, shard_batch
+from audiosourcesep_tpu.parallel import (make_mesh, pad_to_multiple,
+                                         replicate, shard_batch)
 from audiosourcesep_tpu.separation import (BasisConfig,
                                            basis_separate_per_level,
                                            glow_score_fn, ncsn_score_fn,
@@ -110,6 +111,14 @@ def main(args):
         write_wav("ground_truth1.wav", raw_audio[1], spec["sr"])
         write_wav("ground_truth2.wav", raw_audio[2], spec["sr"])
         write_wav("mix.wav", raw_audio[0], spec["sr"])
+        # audio summaries (reference run_basis_sep.py:380)
+        for name, audio in zip(("mix", "gt1", "gt2"), raw_audio):
+            try:
+                train_writer.add_audio(f"Original Audio/{name}",
+                                       np.asarray(audio)[None, :],
+                                       0, sample_rate=spec["sr"])
+            except Exception:
+                pass
     print(f"Data Loaded in {round(time.time() - t0, 3)} seconds")
 
     # ---------------- models ----------------------------------------------
@@ -158,7 +167,20 @@ def main(args):
     # ---------------- separation ------------------------------------------
     x_init = jnp.stack([x1, x2])
     mixed_dev = jnp.asarray(mixed)
+    n_frames = x_init.shape[1]
     if mesh is not None:
+        # pad the frame batch to a device-count multiple (separation is
+        # frame-independent; padding frames are dropped afterwards)
+        n_dev = mesh.devices.size
+        padded = pad_to_multiple(n_frames, n_dev)
+        if padded != n_frames:
+            extra = padded - n_frames
+            x_init = jnp.pad(
+                x_init, [(0, 0), (0, extra)] + [(0, 0)] * (x_init.ndim - 2),
+                mode="wrap")
+            mixed_dev = jnp.pad(
+                mixed_dev, [(0, extra)] + [(0, 0)] * (mixed_dev.ndim - 1),
+                mode="wrap")
         x_init = shard_batch(x_init, mesh, batch_axis=1)
         mixed_dev = shard_batch(mixed_dev, mesh, batch_axis=0)
 
@@ -174,6 +196,9 @@ def main(args):
         score_fn, stacked, mixed_dev, x_init, sigmas, k_sep, cfg,
         callback=progress)
     x_final = jax.block_until_ready(x_final)
+    x_final = x_final[:, :n_frames]
+    if traj is not None:
+        traj = traj[:, :, :n_frames]
     print(f"Duration: {round(time.time() - t0, 3)} seconds")
 
     # ---------------- save results ----------------------------------------
@@ -204,6 +229,13 @@ def main(args):
             fmin=SPEC_PARAMS["fmin"], fmax=SPEC_PARAMS["fmax"]))
         write_wav("sep1.wav", audio[0], sr)
         write_wav("sep2.wav", audio[1], sr)
+        for i in range(2):
+            try:
+                train_writer.add_audio(f"Separated Audio/sep{i+1}",
+                                       audio[i][None, :], 1000,
+                                       sample_rate=sr)
+            except Exception:
+                pass
 
     log_file.close()
 

@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_cli(script, *args, cwd=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
@@ -60,7 +60,7 @@ def dataset_dir(tmp_path_factory, song_dir):
     from audiosourcesep_tpu.data import load_tf_records
     recs = load_tf_records([str(root / "train" / "piano.tfrecord")])
     assert recs and recs[0].shape == (96, 64)
-    assert recs[0].min() >= -100.0 and recs[0].max() <= 20.0
+    assert recs[0].min() >= -100.001 and recs[0].max() <= 20.001
     return str(root)
 
 

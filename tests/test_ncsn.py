@@ -139,3 +139,18 @@ class TestLangevin:
                                        n_steps_each=1, return_arr=True)
         assert arr.shape == (4, 2, 8, 8, 1)
         np.testing.assert_allclose(np.asarray(arr[0]), 0.0)
+
+
+class TestBF16Compute:
+    def test_bf16_scores_close_to_f32(self):
+        m32 = RefineNetDilated((16, 16, 1), 8, num_classes=4)
+        m16 = RefineNetDilated((16, 16, 1), 8, num_classes=4,
+                               compute_dtype=jnp.bfloat16)
+        p = m32.init_params(jax.random.PRNGKey(30))
+        x = jax.random.normal(jax.random.PRNGKey(31), (2, 16, 16, 1))
+        idx = jnp.zeros((2,), jnp.int32)
+        s32 = np.asarray(m32.apply(p, x, idx))
+        s16 = np.asarray(m16.apply(p, x, idx))
+        assert s16.dtype == np.float32  # output restored to input dtype
+        denom = np.abs(s32).mean()
+        assert np.abs(s16 - s32).mean() / denom < 0.05

@@ -14,7 +14,7 @@ import numpy as np
 
 from audiosourcesep_tpu import cli
 from audiosourcesep_tpu.models import build_glow
-from audiosourcesep_tpu.parallel import make_mesh, replicate
+from audiosourcesep_tpu.parallel import make_mesh_for_batch, replicate
 from audiosourcesep_tpu.training import (CheckpointManager, LoopConfig,
                                          image_grid, init_train_state,
                                          make_flow_train_step, plot_to_image,
@@ -49,7 +49,7 @@ def main(args):
     optimizer = setup_optimizer(args.optimizer, args.learning_rate)
     state = init_train_state(params, optimizer)
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
         state = replicate(state, mesh)
     step, eval_loss = make_flow_train_step(model, optimizer, mesh=mesh)

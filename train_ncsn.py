@@ -16,7 +16,7 @@ import numpy as np
 from audiosourcesep_tpu import cli
 from audiosourcesep_tpu.models.ncsn import (anneal_langevin_dynamics,
                                             get_score_model, get_sigmas)
-from audiosourcesep_tpu.parallel import make_mesh, replicate
+from audiosourcesep_tpu.parallel import make_mesh_for_batch, replicate
 from audiosourcesep_tpu.training import (CheckpointManager, LoopConfig,
                                          image_grid, init_train_state,
                                          make_ncsn_train_step, plot_to_image,
@@ -65,7 +65,7 @@ def main(args):
 
     optimizer = setup_optimizer(args.optimizer, args.learning_rate)
     state = init_train_state(params, optimizer, ema=args.ema)
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
         state = replicate(state, mesh)
     step, eval_loss = make_ncsn_train_step(
