@@ -9,7 +9,9 @@ not on the critical path -- the kernel is kept as the starting point for
 deeper fusion work (norm+conv epilogues), not wired in by default.
 """
 
-import time, jax, jax.numpy as jnp
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
 from audiosourcesep_tpu.ops.pallas import (instance_norm_2dplus,
                                            instance_norm_2dplus_reference)
 def timeit(f, *a, n=50):
