@@ -25,7 +25,8 @@ def run_cli(script, *args, cwd=None):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
-        capture_output=True, text=True, cwd=cwd or REPO, timeout=1200)
+        capture_output=True, text=True, cwd=cwd or REPO, timeout=1200,
+        env=env)
     assert result.returncode == 0, (
         f"{script} failed:\nSTDOUT:\n{result.stdout[-3000:]}\n"
         f"STDERR:\n{result.stderr[-3000:]}")
@@ -120,3 +121,38 @@ class TestPipeline:
                     "--T", "5", "--sigma1", "55.", "--sigmaL", "0.01")
         assert "gamma=" in r.stdout
         assert "epsilon=" in r.stdout
+
+
+class TestGlowPipeline:
+    """Glow path: train -> noisy-glow sigma chain -> glow-prior BASIS."""
+
+    def test_glow_basis_end_to_end(self, tmp_path_factory, dataset_dir,
+                                   song_dir):
+        runs = tmp_path_factory.mktemp("glow_runs")
+        glow_out = str(runs / "glow_tiny")
+        run_cli("train_glow.py", "--dataset", dataset_dir, "--output",
+                glow_out, "--debug", "--L", "2", "--K", "1",
+                "--n_filters", "4", "--n_epochs", "1", "--batch_size", "2",
+                "--learntop")
+        assert os.path.exists(os.path.join(glow_out, "ckpts",
+                                           "checkpoint.json"))
+
+        noisy_out = str(runs / "noisy_glow_tiny")
+        run_cli("train_noisy_glow.py", glow_out, "--dataset", dataset_dir,
+                "--output", noisy_out, "--debug", "--L", "2", "--K", "1",
+                "--n_filters", "4", "--n_epochs", "1", "--batch_size", "2",
+                "--learntop", "--sigma1", "1.0", "--sigmaL", "0.1",
+                "--num_classes", "2")
+        for sig in ("sigma_1.0", "sigma_0.1"):
+            assert os.path.isdir(os.path.join(noisy_out, sig, "ckpts")), sig
+
+        sep_out = str(runs / "basis_glow_tiny")
+        run_cli("run_basis_sep.py", noisy_out, noisy_out,
+                "--output", sep_out, "--debug", "--dataset", "melspec",
+                "--song_dir", song_dir, "--model_type", "glow",
+                "--n_mixed", "2", "--T", "2", "--num_classes", "2",
+                "--L", "2", "--K", "1", "--n_filters", "4", "--learntop",
+                "--sigma1", "1.0", "--sigmaL", "0.1")
+        results = np.load(os.path.join(sep_out, "results.npz"))
+        assert results["x1"].shape == (2, 96, 64)
+        assert np.isfinite(results["x1"]).all()
