@@ -33,6 +33,8 @@ except Exception:
     pass
 
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
+from audiosourcesep_tpu.parallel import (make_mesh, pad_to_multiple,
+                                         replicate, shard_batch)
 from audiosourcesep_tpu.separation import (BasisConfig,
                                            basis_separate_per_level,
                                            ncsn_score_fn, stack_pytrees)
@@ -60,6 +62,22 @@ def main():
 
     mixed = jax.random.normal(k2, (N_FRAMES, *DATA_SHAPE)) * 0.2 + 0.5
     x_init = jax.random.uniform(k3, (2, N_FRAMES, *DATA_SHAPE))
+
+    # multi-chip: shard the frame batch over all devices (pad to multiple)
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        padded = pad_to_multiple(N_FRAMES, n_dev)
+        if padded != N_FRAMES:
+            pad = padded - N_FRAMES
+            mixed = jnp.pad(mixed, [(0, pad), (0, 0), (0, 0), (0, 0)],
+                            mode="wrap")
+            x_init = jnp.pad(x_init,
+                             [(0, 0), (0, pad), (0, 0), (0, 0), (0, 0)],
+                             mode="wrap")
+        mixed = shard_batch(mixed, mesh, batch_axis=0)
+        x_init = shard_batch(x_init, mesh, batch_axis=1)
+        stacked = replicate(stacked, mesh)
 
     cfg = BasisConfig(T=T, delta=2e-5, data_type="melspec", scale="dB",
                       collect_trajectory=False)
