@@ -6,7 +6,6 @@ Functional JAX re-designs of the reference layers
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

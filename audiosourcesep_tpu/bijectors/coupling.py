@@ -5,8 +5,6 @@ Re-designs of /root/reference/flow_models/flow_tfp_bijectors.py:11-153.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

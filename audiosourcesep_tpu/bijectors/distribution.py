@@ -9,7 +9,7 @@ prior.log_prob(chain.forward(x)) + chain.forward_log_det(x)``;
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ to fixed-iteration compiled control flow).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,12 +12,9 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Optional, Tuple
-
-import numpy as np
 
 from .data import load_melspec_ds, load_toydata
-from .training import dict2namespace, get_config
+from .training import get_config
 
 
 def apply_config_override(args: argparse.Namespace,

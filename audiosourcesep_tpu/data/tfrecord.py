@@ -18,7 +18,7 @@ import ctypes
 import os
 import struct
 import subprocess
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import itertools
 import math
-from typing import Optional, Tuple
 
 import numpy as np
 from scipy.signal import fftconvolve

@@ -12,9 +12,7 @@ initialised pytree (data-dependent ActNorm init from ``minibatch``).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
-import jax
+from typing import Sequence, Tuple
 
 from ..bijectors import (Chain, FlowModel, ImgPreprocessing,
                          IsotropicNormalPrior, LearnableDiagNormalPrior,

@@ -11,7 +11,6 @@ reference's ``split_state + 1 % 2`` never wraps, flow_flowpp.py:63).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

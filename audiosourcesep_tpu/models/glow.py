@@ -11,8 +11,6 @@ SURVEY.md §5).
 
 from __future__ import annotations
 
-from typing import List, Sequence
-
 import jax
 import jax.numpy as jnp
 

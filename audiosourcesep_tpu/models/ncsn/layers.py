@@ -10,7 +10,7 @@ score_network_v2.py:41-47), since trained-statistics parity is the goal.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,7 @@ train_ncsn.py:26-46. The Langevin sampler is a jitted double ``lax.scan``
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ MXU), Griffin-Lim a ``lax.scan`` over STFT/iSTFT round trips.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

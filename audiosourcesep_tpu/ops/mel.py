@@ -8,7 +8,6 @@ matrices applied with a single MXU matmul.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -17,7 +17,7 @@ Conventions (librosa.stft defaults, which the reference uses):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Glow priors) checkpoint restores from disk between noise levels
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

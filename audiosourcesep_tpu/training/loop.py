@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import batch_sharding, make_mesh, replicate, replicated
+from ..parallel import batch_sharding
 from .checkpoint import CheckpointManager
 from .train_utils import is_bad
 

@@ -12,10 +12,9 @@ import datetime
 import io
 import os
 import shutil
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 import yaml

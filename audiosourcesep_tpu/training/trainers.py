@@ -8,7 +8,6 @@ batch axis is sharded and XLA emits the gradient all-reduce over ICI
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Callable, Optional
 
@@ -19,8 +18,8 @@ import optax
 
 from ..bijectors import FlowModel
 from ..models.ncsn.utils import dsm_loss
-from ..parallel import batch_sharding, make_mesh, replicate, replicated
-from .checkpoint import CheckpointManager, restore_pytree
+from ..parallel import batch_sharding, replicated
+from .checkpoint import CheckpointManager
 from .train_utils import ema_update, setup_optimizer
 
 
