@@ -209,7 +209,12 @@ def get_song_extract(mix_path: str, piano_path: str, violin_path: str,
 
     all_w = jnp.asarray(np.stack(windows))          # [3, n, L]
     stft_all = stft(all_w, n_fft=n_fft, hop_length=hop_length)
-    stft_mixture = np.asarray(stft_all[0])          # complex [n, bins, F]
+    # transfer real/imag separately (some TPU runtimes lack complex
+    # device->host transfers)
+    stft_mix = stft_all[0]
+    stft_mixture = (np.asarray(jnp.real(stft_mix), np.float32)
+                    + 1j * np.asarray(jnp.imag(stft_mix), np.float32)
+                    ).astype(np.complex64)          # [n, bins, F]
 
     mels = melspectrogram(all_w, sr=sr, n_fft=n_fft, hop_length=hop_length,
                           n_mels=n_mels, fmin=fmin, fmax=fmax, dbmin=dbmin,

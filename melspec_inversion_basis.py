@@ -33,6 +33,10 @@ def concat_frames(audio_frames: np.ndarray) -> np.ndarray:
 
 
 def main(args):
+    if args.device == "cpu":
+        # complex-FFT-heavy offline tool; some TPU runtimes lack complex
+        # transfers, and CPU is plenty for this stage
+        jax.config.update("jax_platforms", "cpu")
     os.chdir(args.basis_results)
     basis_results = np.load("results.npz")
 
@@ -128,4 +132,6 @@ if __name__ == "__main__":
     parser.add_argument("--wiener_filter", action="store_true")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", type=str, default="cpu",
+                        help="cpu (default; offline tool) or accelerator")
     main(parser.parse_args())

@@ -147,10 +147,13 @@ def main(args):
             stacked = replicate(stacked, mesh)
         score_fn = glow_score_fn(model.log_prob)
     else:
+        compute_dtype = jnp.bfloat16 if args.compute_dtype == "bf16" \
+            else None
         model = get_score_model(args.version, args.data_shape,
                                 args.n_filters, int(args.num_classes),
                                 sigmas=sigmas,
-                                logit_transform=args.use_logit)
+                                logit_transform=args.use_logit,
+                                compute_dtype=compute_dtype)
         rng, k_init = jax.random.split(rng)
         template = model.init_params(k_init)
         p1 = restore_ncsn_params(abs_restore_1, template)
@@ -255,6 +258,9 @@ if __name__ == "__main__":
     parser.add_argument("--inverse", action="store_true")
     parser.add_argument("--model_type", type=str, default="ncsn")
     parser.add_argument("--version", type=str, default="v1")
+    parser.add_argument("--compute_dtype", type=str, default="f32",
+                        help="f32 (reference numerics) or bf16 (TPU fast "
+                             "path: ~1.5x faster separation)")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)
