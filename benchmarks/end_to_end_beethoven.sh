@@ -12,6 +12,7 @@
 #     (the bf16 path used by bench.py runs the same workload in ~133 s)
 #   inversion (phase reuse + Wiener, CPU): 105 s
 #   SDR [piano, violin] = [4.57, 1.56] dB, SIR = [8.22, 3.98] dB
+#   (--compute_dtype bf16: SDR [4.56, 1.55] dB -- quality-neutral)
 #   IBM oracle upper bound SDR = [15.22, 14.04] dB
 #
 # Usage: bash benchmarks/end_to_end_beethoven.sh /path/to/workdir

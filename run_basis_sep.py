@@ -97,10 +97,18 @@ def main(args):
         spec = dict(SPEC_PARAMS, use_dB=(args.scale == "dB"),
                     n_mels=args.height)
         duration = spec["length_sec"] * args.n_mixed
-        mel_spec, raw_audio, stft_mixture = get_song_extract(
-            os.path.join(song_dir, "mix.wav"),
-            os.path.join(song_dir, "piano.wav"),
-            os.path.join(song_dir, "violin.wav"), duration, **spec)
+        # data prep is milliseconds of compute; pin it to CPU so it never
+        # pays an accelerator compile (observed ~130 s of XLA compile for
+        # this step when left on the TPU)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            mel_spec, raw_audio, stft_mixture = get_song_extract(
+                os.path.join(song_dir, "mix.wav"),
+                os.path.join(song_dir, "piano.wav"),
+                os.path.join(song_dir, "violin.wav"), duration, **spec)
         mixed = jnp.asarray(mel_spec[0])
         gt1, gt2 = jnp.asarray(mel_spec[1]), jnp.asarray(mel_spec[2])
         minibatch = gt1
