@@ -217,11 +217,17 @@ def main(args):
         return np.asarray(postprocess(jnp.asarray(x), minval, maxval,
                                       args.use_logit, alpha, data_type))
 
-    x1_out = post(np.asarray(x_final[0]).squeeze())
-    x2_out = post(np.asarray(x_final[1]).squeeze())
-    mixed_out = post(np.asarray(mixed).squeeze())
+    def squeeze_ch(a):
+        # drop only the trailing channel axis (plain .squeeze() would also
+        # collapse a singleton frame axis when n_mixed == 1)
+        a = np.asarray(a)
+        return a[..., 0] if a.shape[-1] == 1 else a
+
+    x1_out = post(squeeze_ch(x_final[0]))
+    x2_out = post(squeeze_ch(x_final[1]))
+    mixed_out = post(squeeze_ch(mixed))
     np.savez("results", x1=x1_out, x2=x2_out,
-             gt1=np.asarray(gt1).squeeze(), gt2=np.asarray(gt2).squeeze(),
+             gt1=squeeze_ch(gt1), gt2=squeeze_ch(gt2),
              mixed=mixed_out, stft_mixture=stft_mixture)
     np.savez("results_convergence", x1=post(np.asarray(traj[:, 0])),
              x2=post(np.asarray(traj[:, 1])))

@@ -156,3 +156,39 @@ class TestGlowPipeline:
         results = np.load(os.path.join(sep_out, "results.npz"))
         assert results["x1"].shape == (2, 96, 64)
         assert np.isfinite(results["x1"]).all()
+
+
+class TestRemainingCLIs:
+    def test_ncsn_generate_samples(self, tmp_path_factory, trained_ncsn_dir):
+        out = str(tmp_path_factory.mktemp("runs") / "gen")
+        run_cli("ncsn_generate_samples.py", trained_ncsn_dir,
+                "--output", out, "--debug", "--dataset", "melspec",
+                "--version", "v1", "--n_samples", "2", "--T", "1",
+                "--num_classes", "2", "--n_filters", "4", "--return_arr")
+        samples = np.load(os.path.join(out, "generated_samples.npy"))
+        # return_arr: [levels+1, n, H, W, C]
+        assert samples.shape == (3, 2, 96, 64, 1)
+        assert samples.min() >= -100.001 and samples.max() <= 20.001
+
+    def test_griffin_inversion(self, tmp_path_factory, trained_ncsn_dir,
+                               song_dir):
+        out = str(tmp_path_factory.mktemp("runs") / "basis_for_griffin")
+        run_cli("run_basis_sep.py", trained_ncsn_dir, trained_ncsn_dir,
+                "--output", out, "--debug", "--dataset", "melspec",
+                "--song_dir", song_dir, "--model_type", "ncsn",
+                "--version", "v1", "--n_mixed", "1", "--T", "1",
+                "--num_classes", "2", "--n_filters", "4")
+        run_cli("melspec_inversion_basis.py", out, "--debug",
+                "--algorithm", "griffin", "--method", "frame")
+        inv = np.load(os.path.join(out, "inverse_griffin_frame",
+                                   "inverse_spectrograms.npz"))
+        assert np.isfinite(inv["x1_audio"]).all()
+        assert inv["x1_audio"].shape[-1] > 16000
+
+    def test_technique1(self, dataset_dir):
+        run_cli("technique1_ncsnv2.py", dataset_dir)
+        with open(os.path.join(dataset_dir, "max_norm.txt")) as f:
+            text = f.read()
+        assert "Max Euclidean Distance" in text
+        val = float(text.split("=")[-1])
+        assert 0 < val < 100
