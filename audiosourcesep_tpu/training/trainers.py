@@ -147,7 +147,31 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
     prev_ckpt_dir = restore_path
     save_dirs = {}
 
-    for sigma in np.asarray(sigmas):
+    # one jitted step shared by every noise level: the perturbation
+    # ``X + sigma * eps`` is applied to the batch outside the step, so
+    # changing sigma never recompiles (10 levels x a multi-minute Glow
+    # compile otherwise)
+    step, eval_loss = make_flow_train_step(model, optimizer, mesh=mesh)
+
+    class _NoisyView:
+        def __init__(self, ds, sigma, seed):
+            self.ds, self.sigma = ds, float(sigma)
+            self._rng = np.random.RandomState(seed)
+            self.batch_size = ds.batch_size
+
+        def __len__(self):
+            return len(self.ds)
+
+        @property
+        def n_examples(self):
+            return self.ds.n_examples
+
+        def __iter__(self):
+            for batch in self.ds:
+                yield (batch + self.sigma * self._rng.randn(*batch.shape)
+                       ).astype(batch.dtype)
+
+    for li, sigma in enumerate(np.asarray(sigmas)):
         sigma_dir = os.path.join(output_dir, f"sigma_{round(float(sigma), 2)}")
         os.makedirs(sigma_dir, exist_ok=True)
         state = init_train_state(params, optimizer)
@@ -156,13 +180,14 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
             state, _ = mgr.restore_latest(state, strict=False)
             print(f"Restored previous level weights from {prev_ckpt_dir}")
 
-        step, eval_loss = make_flow_train_step(
-            model, optimizer, noise_sigma=float(sigma), mesh=mesh)
         cfg = LoopConfig(n_epochs=n_epochs_per_sigma, batch_size=batch_size,
                          output_dir=sigma_dir, ckpt_dir="ckpts")
         rng, loop_rng = jax.random.split(rng)
-        result = run_training(state, step, eval_loss, ds_train, ds_test,
-                              cfg, loop_rng, mesh=mesh)
+        result = run_training(
+            state, step, eval_loss,
+            _NoisyView(ds_train, sigma, 1000 + li),
+            _NoisyView(ds_test, sigma, 2000 + li),
+            cfg, loop_rng, mesh=mesh)
         params = result.state["params"]
         prev_ckpt_dir = os.path.join(sigma_dir, "ckpts")
         save_dirs[float(sigma)] = prev_ckpt_dir
