@@ -93,3 +93,24 @@ class TestParallelHelpers:
 
     def test_mesh_for_batch_one(self):
         assert make_mesh_for_batch(1) is None
+
+
+class TestCliHelpers:
+    def test_config_override_keeps_run_flags(self, tmp_path):
+        import argparse
+        from audiosourcesep_tpu.cli import apply_config_override
+        cfg = tmp_path / "c.yml"
+        cfg.write_text("n_filters: 99\nbatch_size: 7\nscale: 'dB'\n")
+        args = argparse.Namespace(config=str(cfg), dataset="mydata",
+                                  output="out", debug=True, restore=None,
+                                  n_filters=1, batch_size=1)
+        new = apply_config_override(args)
+        assert new.n_filters == 99 and new.batch_size == 7
+        assert new.dataset == "mydata" and new.output == "out"
+        assert new.debug is True
+
+    def test_config_none_passthrough(self):
+        import argparse
+        from audiosourcesep_tpu.cli import apply_config_override
+        args = argparse.Namespace(config=None, x=1)
+        assert apply_config_override(args) is args
