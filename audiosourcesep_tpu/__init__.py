@@ -44,4 +44,22 @@ def _honor_jax_platforms_env() -> None:
         pass
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (big programs cost minutes through
+    remote compile in some environments; verified to work cross-process).
+    Opt out with ASR_NO_JAX_CACHE=1."""
+    if _os.environ.get("ASR_NO_JAX_CACHE"):
+        return
+    try:
+        import jax as _jax
+        cache_dir = _os.environ.get(
+            "ASR_JAX_CACHE", _os.path.expanduser("~/.cache/jax_comp"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 _honor_jax_platforms_env()
+_enable_compilation_cache()

@@ -60,8 +60,10 @@ def main(args):
         assert restored_step > 0
         print(f"Model restored from {args.restore} at step {restored_step}")
 
+    sample_jit = jax.jit(lambda p, k: model.sample(p, k, 32))
+
     def sample_fn(state, epoch, rng):
-        samples = model.sample(state["params"], rng, 32)
+        samples = sample_jit(state["params"], rng)
         samples = np.asarray(samples).reshape(32, *data["data_shape"])
         samples = np.clip(samples, data["minval"], data["maxval"])
         np.save(os.path.join("generated_samples",
@@ -75,7 +77,7 @@ def main(args):
     cfg = LoopConfig(
         n_epochs=args.n_epochs, batch_size=args.batch_size,
         val_every_epochs=max(args.n_epochs // 100, 1),
-        sample_every_epochs=max(args.n_epochs // 100, 1))
+        sample_every_epochs=max(args.n_epochs // 10, 1))
     result = run_training(state, step, eval_loss, data["ds_train"],
                           data["ds_test"], cfg, rng, sample_fn=sample_fn,
                           train_writer=train_writer, test_writer=test_writer,
