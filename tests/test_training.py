@@ -167,3 +167,35 @@ class TestLoopAndChain:
             assert f"sigma_{round(sigma, 2)}" in d
             mgr = CheckpointManager(d)
             assert mgr.latest() is not None
+
+
+class TestMiscTrainUtils:
+    def test_plot_to_image_and_grid(self):
+        from audiosourcesep_tpu.training import image_grid, plot_to_image
+        sample = np.random.RandomState(0).rand(8, 16, 16, 1)
+        fig = image_grid(sample, (16, 16, 1), "melspec")
+        img = plot_to_image(fig)
+        assert img.ndim == 3 and img.shape[-1] == 4  # RGBA
+        fig2 = image_grid(np.random.rand(4, 8, 8, 3), (8, 8, 3), "image")
+        img2 = plot_to_image(fig2)
+        assert img2.shape[-1] == 4
+
+    def test_per_batch_sigma_quirk(self):
+        """per_sample_sigma=False reproduces the reference's one-sigma-per-
+        batch behavior (train_ncsn.py:37)."""
+        from audiosourcesep_tpu.models.ncsn import dsm_loss, get_sigmas
+        from audiosourcesep_tpu.models.ncsn import RefineNetDilated
+        m = RefineNetDilated((8, 8, 1), 4, num_classes=4)
+        p = m.init_params(jax.random.PRNGKey(0))
+        sig = jnp.asarray(get_sigmas(1.0, 0.01, 4))
+        X = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 1))
+        l1 = dsm_loss(m.apply, p, X, sig, jax.random.PRNGKey(2),
+                      per_sample_sigma=False)
+        assert bool(jnp.isfinite(l1))
+
+    def test_ema_update_math(self):
+        from audiosourcesep_tpu.training import ema_update
+        ema = {"w": jnp.zeros(2)}
+        p = {"w": jnp.ones(2)}
+        out = ema_update(ema, p, decay=0.9)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
