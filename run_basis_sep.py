@@ -236,14 +236,21 @@ def main(args):
         sr = SPEC_PARAMS["sr"]
         x1_concat = np.concatenate(list(x1_out), axis=-1)
         x2_concat = np.concatenate(list(x2_out), axis=-1)
-        mels = jnp.asarray(np.stack([x1_concat, x2_concat]))
-        if args.scale == "dB":
-            mels = db_to_power(mels)
         rng, k_inv = jax.random.split(rng)
-        audio = np.asarray(mel_to_audio(
-            mels, k_inv, sr=sr, n_fft=SPEC_PARAMS["n_fft"],
-            hop_length=SPEC_PARAMS["hop_length"],
-            fmin=SPEC_PARAMS["fmin"], fmax=SPEC_PARAMS["fmax"]))
+        # complex-FFT-heavy; run on CPU (cheap, and some TPU runtimes lack
+        # complex transfers)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            mels = jnp.asarray(np.stack([x1_concat, x2_concat]))
+            if args.scale == "dB":
+                mels = db_to_power(mels)
+            audio = np.asarray(mel_to_audio(
+                mels, k_inv, sr=sr, n_fft=SPEC_PARAMS["n_fft"],
+                hop_length=SPEC_PARAMS["hop_length"],
+                fmin=SPEC_PARAMS["fmin"], fmax=SPEC_PARAMS["fmax"]))
         write_wav("sep1.wav", audio[0], sr)
         write_wav("sep2.wav", audio[1], sr)
         for i in range(2):
