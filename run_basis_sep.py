@@ -200,6 +200,25 @@ def main(args):
 
     def progress(level, x):
         print(f"Sigma = {sigmas[level]} ({level + 1} / {len(sigmas)}) done")
+        # per-level component snapshots to TensorBoard (reference
+        # run_basis_sep.py:247-255)
+        try:
+            from audiosourcesep_tpu.training import plot_to_image
+            import matplotlib.pyplot as plt
+            n_show = min(5, x.shape[1])
+            f, axes = plt.subplots(n_show, 3, figsize=(6, 8), squeeze=False)
+            for i in range(n_show):
+                for j, img in enumerate((np.asarray(mixed)[i],
+                                         np.asarray(x[0, i]),
+                                         np.asarray(x[1, i]))):
+                    axes[i][j].imshow(img.squeeze(), origin="lower",
+                                      aspect="auto", cmap="magma")
+                    axes[i][j].set_axis_off()
+            f.suptitle("Separation: Mixture = Component 1 + Component 2")
+            train_writer.add_image("Components", plot_to_image(f),
+                                   (level + 1) * args.T, dataformats="HWC")
+        except Exception:
+            pass
 
     t0 = time.time()
     rng, k_sep = jax.random.split(rng)
