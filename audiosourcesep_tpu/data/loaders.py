@@ -27,15 +27,21 @@ from .wav import load_audio
 # wav -> windows
 # ---------------------------------------------------------------------------
 
-def load_wav(path: str, length_sec: float,
-             sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
+def load_wav(path: str, length_sec: float, sr: Optional[int] = None,
+             hop_sec: Optional[float] = None) -> Tuple[np.ndarray, int]:
     """Load a wav mono (optionally resampled) and window it into
     ``int(rate * length_sec)``-sample chunks, dropping the remainder
-    (preprocessing.py:9-26). Returns ``([n_windows, L], rate)``."""
+    (preprocessing.py:9-26). ``hop_sec`` < ``length_sec`` yields
+    overlapping windows (data augmentation; default non-overlapping,
+    matching the reference). Returns ``([n_windows, L], rate)``."""
     song, rate = load_audio(path, sr=sr, mono=True)
     L = int(rate * length_sec)
-    n = len(song) // L
-    return song[:n * L].reshape(n, L), rate
+    hop = L if hop_sec is None else max(int(rate * hop_sec), 1)
+    if hop == L:
+        n = len(song) // L
+        return song[:n * L].reshape(n, L), rate
+    starts = np.arange(0, len(song) - L + 1, hop)
+    return np.stack([song[s:s + L] for s in starts]), rate
 
 
 def load_multiple_wav(path: str, length_sec: float) -> np.ndarray:

@@ -147,3 +147,17 @@ class TestArrayDataset:
         s1 = ArrayDataset(data, None, False, num_hosts=2, host_id=1)
         np.testing.assert_array_equal(np.sort(np.concatenate(
             [s0.data, s1.data])), data)
+
+
+class TestOverlappingWindows:
+    def test_load_wav_hop(self, tmp_path):
+        x = np.arange(48000, dtype=np.float32) / 48000
+        p = str(tmp_path / "w.wav")
+        write_wav(p, x * 0.5, 16000)
+        full, _ = load_wav(p, 1.0)
+        assert full.shape == (3, 16000)
+        overlapped, _ = load_wav(p, 1.0, hop_sec=0.5)
+        assert overlapped.shape == (5, 16000)
+        # second window starts half-way through the first
+        np.testing.assert_allclose(overlapped[1, 0], full[0, 8000],
+                                   atol=1e-4)

@@ -39,8 +39,11 @@ def main(args):
         wav_files += [os.path.join(root, f) for f in files
                       if re.match(r".*\.wav$", f)]
 
+    hop_sec = (args.length_sec * (1.0 - args.overlap)
+               if args.overlap > 0 else None)
     for wav_file in sorted(wav_files):
-        windows, rate = load_wav(wav_file, args.length_sec, sr=args.sr)
+        windows, rate = load_wav(wav_file, args.length_sec, sr=args.sr,
+                                 hop_sec=hop_sec)
         print(f"{wav_file} Loaded...")
         if args.use_signal:
             specs = melspectrogram_tf_signal(
@@ -95,5 +98,8 @@ if __name__ == "__main__":
     parser.add_argument("--dbmax", type=int, default=20)
     parser.add_argument("--use_dB", action="store_true")
     parser.add_argument("--use_signal", action="store_true")
+    parser.add_argument("--overlap", type=float, default=0.0,
+                        help="fractional window overlap in [0, 1) for data "
+                             "augmentation (reference uses 0)")
     parser.add_argument("--tfrecords", action="store_true")
     main(parser.parse_args())
