@@ -161,3 +161,14 @@ class TestOverlappingWindows:
         # second window starts half-way through the first
         np.testing.assert_allclose(overlapped[1, 0], full[0, 8000],
                                    atol=1e-4)
+
+
+class TestCorruptionDetection:
+    def test_bad_crc_raises(self, tmp_path):
+        p = str(tmp_path / "c.tfrecord")
+        save_tf_records([np.ones(4, np.float32)], p)
+        data = bytearray(open(p, "rb").read())
+        data[-6] ^= 0xFF  # flip a payload byte
+        open(p, "wb").write(bytes(data))
+        with pytest.raises(ValueError, match="corrupt"):
+            load_tf_records([p])
