@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import melspectrogram, stft
+from ..ops import melspectrogram, power_to_db, stft
 from .tfrecord import load_tf_records
 from .wav import load_audio
 
@@ -222,15 +222,23 @@ def get_song_extract(mix_path: str, piano_path: str, violin_path: str,
                     + 1j * np.asarray(jnp.imag(stft_mix), np.float32)
                     ).astype(np.complex64)          # [n, bins, F]
 
-    mels = melspectrogram(all_w, sr=sr, n_fft=n_fft, hop_length=hop_length,
-                          n_mels=n_mels, fmin=fmin, fmax=fmax, dbmin=dbmin,
-                          dbmax=dbmax, use_dB=False)
     if use_dB:
-        # the reference applies librosa.power_to_db (per-window top_db=80
-        # floor) then clips to [dbmin, dbmax] (data_loader.py:161-164);
-        # the training-path clip already bounds power to >= dbmin so the
-        # plain 10*log10 is equivalent within [dbmin, dbmax]
-        mels = jnp.clip(10.0 * jnp.log10(mels), dbmin, dbmax)
+        # match the reference exactly (data_loader.py:161-164): UNCLIPPED
+        # mel power -> librosa.power_to_db (amin=1e-10, per-window
+        # top_db=80 floor at window_max - 80 dB) -> clip [dbmin, dbmax].
+        # The floor must see the unclipped per-window max, so the power
+        # clip is skipped here (clip=False).
+        mels = melspectrogram(all_w, sr=sr, n_fft=n_fft,
+                              hop_length=hop_length, n_mels=n_mels,
+                              fmin=fmin, fmax=fmax, use_dB=False,
+                              clip=False)
+        mels = jnp.clip(power_to_db(mels, top_db=80.0, window_ndim=2),
+                        dbmin, dbmax)
+    else:
+        mels = melspectrogram(all_w, sr=sr, n_fft=n_fft,
+                              hop_length=hop_length, n_mels=n_mels,
+                              fmin=fmin, fmax=fmax, dbmin=dbmin,
+                              dbmax=dbmax, use_dB=False)
     mel_spec = [np.asarray(mels[i])[..., None] for i in range(3)]
     return mel_spec, raw_audio, stft_mixture
 

@@ -113,14 +113,25 @@ def linear_to_mel_weight_matrix(num_mel_bins: int, num_spectrogram_bins: int,
 # ---------------------------------------------------------------------------
 
 def power_to_db(S: Array, ref: float = 1.0, amin: float = 1e-10,
-                top_db: Optional[float] = 80.0) -> Array:
-    """``10*log10(max(S, amin)) - 10*log10(ref)`` with optional per-array
-    ``top_db`` floor (librosa semantics, used by the reference's
-    data_loader.py:162)."""
+                top_db: Optional[float] = 80.0,
+                window_ndim: Optional[int] = None) -> Array:
+    """``10*log10(max(S, amin)) - 10*log10(ref)`` with optional ``top_db``
+    floor (librosa semantics, used by the reference's data_loader.py:162).
+
+    ``window_ndim=None`` floors against the whole-array max (librosa on a
+    single array). For *batched* windows pass the number of trailing
+    per-window axes (e.g. 2 for ``[..., n_mels, F]``) so the floor is
+    per-window — the reference calls ``librosa.power_to_db`` once per
+    ``[n_mels, F]`` window (data_loader.py:161-164)."""
     log_spec = 10.0 * jnp.log10(jnp.maximum(S, amin))
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(jnp.asarray(ref), amin))
     if top_db is not None:
-        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+        if window_ndim is None:
+            peak = jnp.max(log_spec)
+        else:
+            peak = jnp.max(log_spec, axis=tuple(range(-window_ndim, 0)),
+                           keepdims=True)
+        log_spec = jnp.maximum(log_spec, peak - top_db)
     return log_spec
 
 

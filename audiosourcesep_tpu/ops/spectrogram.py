@@ -31,31 +31,38 @@ def db_limits_to_power(dbmin: float, dbmax: float) -> Tuple[float, float]:
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
                                              "n_mels", "fmin", "fmax",
-                                             "dbmin", "dbmax", "use_dB"))
+                                             "dbmin", "dbmax", "use_dB",
+                                             "clip"))
 def melspectrogram(audio: Array, sr: int = 16000, n_fft: int = 2048,
                    hop_length: int = 512, n_mels: int = 96,
                    fmin: float = 125.0, fmax: float = 7600.0,
                    dbmin: float = -100.0, dbmax: float = 20.0,
-                   use_dB: bool = False) -> Array:
+                   use_dB: bool = False, clip: bool = True) -> Array:
     """librosa-parity mel spectrogram for batched windows.
 
     Args:
         audio: ``[..., T]`` audio windows.
+        clip: clip power to the range implied by ``[dbmin, dbmax]``
+            before the optional dB transform — the reference
+            training-data transform (preprocessing.py:94-99). Pass
+            ``False`` for the raw (unclipped) mel power, which the
+            separation input path needs to reproduce
+            ``librosa.power_to_db``'s per-window ``top_db`` floor
+            (see :func:`power_to_db`).
     Returns:
-        ``[..., n_mels, n_frames]`` power (clipped to the power range implied
-        by ``[dbmin, dbmax]``) or dB (``10*log10``) mel spectrogram —
-        exactly the reference training-data transform
-        (preprocessing.py:79-99).
+        ``[..., n_mels, n_frames]`` power or dB (``10*log10``) mel
+        spectrogram.
     """
     spec = stft(audio, n_fft=n_fft, hop_length=hop_length)   # [..., bins, F]
     power = jnp.square(jnp.abs(spec))
     mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
     melspec = jnp.einsum("mb,...bf->...mf", mel, power,
                          precision=jax.lax.Precision.HIGHEST)
-    pmin, pmax = db_limits_to_power(dbmin, dbmax)
-    melspec = jnp.clip(melspec, pmin, pmax)
+    if clip:
+        pmin, pmax = db_limits_to_power(dbmin, dbmax)
+        melspec = jnp.clip(melspec, pmin, pmax)
     if use_dB:
-        melspec = 10.0 * jnp.log10(melspec)
+        melspec = 10.0 * jnp.log10(jnp.maximum(melspec, 1e-10))
     return melspec
 
 

@@ -163,6 +163,59 @@ class TestOverlappingWindows:
                                    atol=1e-4)
 
 
+class TestGetSongExtract:
+    def test_db_path_matches_librosa_power_to_db(self, tmp_path):
+        """The separation input must reproduce librosa.power_to_db's
+        per-window top_db=80 floor before the [dbmin, dbmax] clip
+        (reference data_loader.py:161-164)."""
+        from audiosourcesep_tpu.data import get_song_extract
+        from audiosourcesep_tpu.ops import mel_filterbank
+        from tests.test_ops import numpy_librosa_stft
+
+        sr, length_sec = 16000, 0.128
+        n_fft, hop, n_mels = 512, 128, 32
+        rng = np.random.RandomState(7)
+        # a tonal window whose max mel power sits around -7 dB: the top_db
+        # floor (window max - 80 dB ~ -87 dB) binds above dbmin=-100
+        t = np.arange(int(sr * length_sec * 5)) / sr
+        paths = []
+        for i, freq in enumerate((440.0, 880.0, 1320.0)):
+            x = (0.3 * np.sin(2 * np.pi * freq * t)
+                 + 1e-5 * rng.randn(len(t))).astype(np.float32)
+            p = str(tmp_path / f"s{i}.wav")
+            write_wav(p, x, sr, subtype="float32")
+            paths.append(p)
+
+        duration = length_sec * 2  # 2 windows after skip_frames=2
+        mel_spec, _, _ = get_song_extract(
+            paths[0], paths[1], paths[2], duration, length_sec=length_sec,
+            sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+            fmin=50.0, fmax=7000.0, use_dB=True)
+
+        fb = mel_filterbank(sr, n_fft, n_mels, 50.0, 7000.0)
+        L = int(sr * length_sec)
+        for si, p in enumerate(paths):
+            x, _ = read_wav(p)
+            for w in range(2):
+                window = x[(2 + w) * L:(3 + w) * L]
+                spec = numpy_librosa_stft(np.asarray(window, np.float32),
+                                          n_fft, hop)
+                power = fb @ (np.abs(spec) ** 2)
+                # numpy restatement of librosa.power_to_db(ref=1.0,
+                # amin=1e-10, top_db=80.0) on one window
+                log_spec = 10.0 * np.log10(np.maximum(power, 1e-10))
+                log_spec = np.maximum(log_spec, log_spec.max() - 80.0)
+                expected = np.clip(log_spec, -100.0, 20.0)
+                got = np.asarray(mel_spec[si][w, ..., 0])
+                np.testing.assert_allclose(got, expected, rtol=1e-3,
+                                           atol=2e-3)
+                # the floor must actually bind here — this is the case the
+                # round-1 code got wrong (it floored at dbmin=-100)
+                assert expected.min() > -99.0
+                assert expected.min() == pytest.approx(
+                    expected.max() - 80.0, abs=1e-3)
+
+
 class TestCorruptionDetection:
     def test_bad_crc_raises(self, tmp_path):
         p = str(tmp_path / "c.tfrecord")
