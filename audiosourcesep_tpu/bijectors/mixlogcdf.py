@@ -103,7 +103,6 @@ class MixLogisticCDFCoupling(Bijector):
         return jnp.stack([y1, y2], axis=3).reshape(N, H, W, C)
 
     def init_params(self, key, x):
-        context_ch = getattr(self.net, "context", False)
         return {"net": self.net.init_params(key)}
 
     def _params_of(self, params, x1, context):

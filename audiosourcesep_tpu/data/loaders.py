@@ -171,20 +171,28 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
 def get_mixture_toydata(dataset: str = "mnist", n_mixed: int = 10,
                         seed: int = 0, data_dir: Optional[str] = None):
     """Two dequantised toy batches and their mean mixture
-    (data_loader.py:41-66). Returns (mixed, x1, x2, gt1, gt2, minibatch)."""
+    (data_loader.py:41-66). Returns (mixed, gt1, gt2, minibatch).
+
+    Deliberate deviation from the reference: sources are dequantised in the
+    RAW [0, 256) scale (``x + U[0,1)``) rather than the reference's
+    ``x/256 - 0.5`` — the committed reference image path never runs (its
+    ``load_toydata`` call passes a kwarg that doesn't exist,
+    data_loader.py:50 vs :10) and its scale matches neither of its trained
+    priors. The separation driver rescales per model type: NCSN priors see
+    [0,1] (their training scale), Glow priors see raw [0,256) (their
+    ``ImgPreprocessing`` bijector rescales internally).
+    """
     ds, _, minibatch = load_toydata(dataset, n_mixed, seed, data_dir)
     rng = jax.random.PRNGKey(seed)
-    k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+    k1, k2 = jax.random.split(rng)
     it = iter(ds)
     gt1 = jnp.asarray(next(it))
     gt2 = jnp.asarray(next(it))
     shape = gt1.shape
-    gt1 = gt1 / 256.0 - 0.5 + jax.random.uniform(k1, shape, maxval=1 / 256.0)
-    gt2 = gt2 / 256.0 - 0.5 + jax.random.uniform(k2, shape, maxval=1 / 256.0)
+    gt1 = gt1 + jax.random.uniform(k1, shape)
+    gt2 = gt2 + jax.random.uniform(k2, shape)
     mixed = (gt1 + gt2) / 2.0
-    x1 = jax.random.normal(k3, shape)
-    x2 = jax.random.normal(k4, shape)
-    return mixed, x1, x2, gt1, gt2, minibatch
+    return mixed, gt1, gt2, minibatch
 
 
 # ---------------------------------------------------------------------------

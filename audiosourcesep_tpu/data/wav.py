@@ -29,6 +29,7 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
 
     pos = 12
     fmt = None
+    fmt_ext = b""
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
@@ -36,6 +37,7 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_ext = body[16:]
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
@@ -43,8 +45,17 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format is the first 2 bytes of the SubFormat GUID in the
+        # fmt extension (cbSize[2] + validBits[2] + channelMask[4] + GUID);
+        # guessing from the bit depth misreads 32-bit-int-PCM as float
+        if len(fmt_ext) < 24:
+            raise ValueError(
+                f"{path}: extensible WAVE without a SubFormat GUID")
+        audio_format = struct.unpack("<H", fmt_ext[8:10])[0]
+        if audio_format not in (1, 3):
+            raise ValueError(
+                f"{path}: unsupported extensible sub-format {audio_format}")
 
     if audio_format == 1:  # PCM
         if bits == 8:

@@ -58,28 +58,6 @@ def make_stacked_ncsn_score(model_apply: Callable, stacked_params
     return score
 
 
-def make_stacked_glow_score(log_prob_fn: Callable, per_level_params
-                            ) -> Callable:
-    """Score fn for Glow priors: ``grad_x log p(x)`` with per-noise-level
-    parameter stacks.
-
-    ``per_level_params`` carries leading axes ``[L, K, ...]`` (noise level,
-    source); the level is selected on-device inside the scan — replacing the
-    reference's per-level checkpoint restore (run_basis_sep.py:228-234).
-    """
-    def single_score(params, x):
-        return jax.grad(lambda v: jnp.sum(log_prob_fn(params, v)))(x)
-
-    vscore = jax.vmap(single_score, in_axes=(0, 0))
-
-    def score(x: Array, sigma_idx: Array, level: Array) -> Array:
-        params_l = jax.tree_util.tree_map(lambda p: p[level],
-                                          per_level_params)
-        return vscore(params_l, x)
-
-    return score
-
-
 def ncsn_score_fn(model_apply: Callable, n_sources: int = 2,
                   mode: str = "sequential") -> Callable:
     """Parameter-explicit stacked NCSN score:
@@ -242,12 +220,19 @@ def preprocess_mixture(mixed: Array, minval: float, maxval: float,
 
 def postprocess(x: Array, minval: float, maxval: float,
                 use_logit: bool = False, alpha: float = 1e-6,
-                data_type: str = "melspec") -> Array:
-    """Map separated sources back to data scale (run_basis_sep.py:82-96)."""
-    if use_logit:
-        x = jax.nn.sigmoid(x)
-        x = (x - alpha) / (1.0 - 2.0 * alpha)
-    x = x * (maxval - minval) + minval
+                data_type: str = "melspec", rescale: bool = True) -> Array:
+    """Map separated sources back to data scale (run_basis_sep.py:82-96).
+
+    ``rescale=False`` is the Glow-prior path: the separation already ran in
+    data scale (Glow priors are trained on raw data — the model's
+    preprocessing bijector rescales internally), so only the final
+    clip/quantise applies.
+    """
+    if rescale:
+        if use_logit:
+            x = jax.nn.sigmoid(x)
+            x = (x - alpha) / (1.0 - 2.0 * alpha)
+        x = x * (maxval - minval) + minval
     if data_type == "image":
         x = jnp.round(jnp.clip(x, 0.0, 255.0))
     else:

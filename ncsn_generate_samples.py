@@ -37,7 +37,9 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed)
     rng, k_init = jax.random.split(rng)
     template = model.init_params(k_init)
-    params = restore_ncsn_params(abs_restore, template)
+    params = restore_ncsn_params(abs_restore, template, ema=args.ema)
+    if args.ema:
+        print(f"Restored EMA weights from {abs_restore}")
 
     log_file = cli.setup_output_dir(args.output, args.debug)
     cli.print_params(args)
@@ -79,6 +81,9 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dataset", type=str, default="melspec")
     parser.add_argument("--version", type=str, default="v1")
+    parser.add_argument("--ema", action="store_true",
+                        help="restore EMA weights (reference "
+                             "ncsn_generate_samples.py:88-89,142)")
     parser.add_argument("--n_samples", type=int, default=32)
     parser.add_argument("--return_arr", action="store_true",
                         help="save the full per-level trajectory")

@@ -38,20 +38,41 @@ SPEC_PARAMS = {"length_sec": 2.04, "dbmin": -100.0, "dbmax": 20.0,
                "hop_length": 512, "n_mels": 96, "sr": 16000}
 
 
-def restore_ncsn_params(path, template):
-    """Restore from a checkpoint file or a directory containing ckpts."""
+def restore_ncsn_params(path, template, ema=False):
+    """Restore prior weights from a checkpoint file or a directory of ckpts.
+
+    ``ema=True`` restores the exponential-moving-average subtree
+    (``ema_params``) instead of the raw weights — the reference's ``--ema``
+    MovingAverage restore (ncsn_generate_samples.py:88-89,142); raises if
+    the checkpoint has no EMA state. The restore is strict — every template
+    leaf must exist in the checkpoint with a matching shape (the analog of
+    ``status.assert_existing_objects_matched()``, reference
+    run_basis_sep.py:28-38) — so a model/checkpoint hyperparameter mismatch
+    fails fast instead of separating with partially-random priors.
+    """
+    subtree = "ema_params" if ema else "params"
+
+    def _restore(ckpt_path):
+        try:
+            state, _ = restore_pytree(ckpt_path, {subtree: template},
+                                      strict=True)
+        except KeyError as e:
+            if ema:
+                raise KeyError(
+                    f"--ema requested but checkpoint {ckpt_path} has no "
+                    f"EMA state (train with --ema): {e}") from e
+            raise
+        return state[subtree]
+
     path = os.path.abspath(path)
     if os.path.isdir(path):
         for cand in (path, os.path.join(path, "ckpts")):
             if os.path.isdir(cand):
                 latest = CheckpointManager(cand).latest()
                 if latest is not None:
-                    state, _ = restore_pytree(latest, {"params": template},
-                                              strict=False)
-                    return state["params"]
+                    return _restore(latest)
         raise FileNotFoundError(f"no checkpoint under {path}")
-    state, _ = restore_pytree(path, {"params": template}, strict=False)
-    return state["params"]
+    return _restore(path)
 
 
 def main(args):
@@ -84,6 +105,18 @@ def main(args):
     train_writer, _ = setup_tensorboard()
     alpha = args.alpha or 1e-6
 
+    # Glow priors are trained on RAW-scale data (their preprocessing
+    # bijector rescales internally: SpecPreprocessing / ImgPreprocessing,
+    # reference flow_builder.py:85-90), so the Glow separation runs in data
+    # scale — no [0,1] rescale on the mixture, uniform init over
+    # [minval, maxval], clip-only postprocessing. NCSN priors are trained
+    # on [0,1]-rescaled data (train_ncsn.py preprocess), so that path keeps
+    # the reference's rescale. (The reference preprocesses to [0,1] for
+    # both, which feeds its Glow priors inputs ~100 dB off their training
+    # distribution; its committed glow-melspec branch never runs as written
+    # — `minibatch` NameError, run_basis_sep.py:386-390.)
+    model_scale = (args.model_type == "glow")
+
     # ---------------- data -------------------------------------------------
     t0 = time.time()
     stft_mixture = None
@@ -91,8 +124,18 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed)
     rng, k_data, k1, k2 = jax.random.split(rng, 4)
     if data_type == "image":
-        mixed, x1, x2, gt1, gt2, minibatch = get_mixture_toydata(
+        mixed, gt1, gt2, minibatch = get_mixture_toydata(
             dataset=args.dataset, n_mixed=args.n_mixed, seed=args.seed)
+        if model_scale:
+            x1 = jax.random.uniform(k1, mixed.shape, minval=minval,
+                                    maxval=maxval)
+            x2 = jax.random.uniform(k2, mixed.shape, minval=minval,
+                                    maxval=maxval)
+        else:
+            mixed = preprocess_mixture(mixed, minval, maxval,
+                                       args.use_logit, alpha)
+            x1 = jax.random.uniform(k1, mixed.shape)
+            x2 = jax.random.uniform(k2, mixed.shape)
     else:
         spec = dict(SPEC_PARAMS, use_dB=(args.scale == "dB"),
                     n_mels=args.height)
@@ -112,10 +155,16 @@ def main(args):
         mixed = jnp.asarray(mel_spec[0])
         gt1, gt2 = jnp.asarray(mel_spec[1]), jnp.asarray(mel_spec[2])
         minibatch = gt1
-        mixed = preprocess_mixture(mixed, minval, maxval, args.use_logit,
-                                   alpha)
-        x1 = jax.random.uniform(k1, mixed.shape)
-        x2 = jax.random.uniform(k2, mixed.shape)
+        if model_scale:
+            x1 = jax.random.uniform(k1, mixed.shape, minval=minval,
+                                    maxval=maxval)
+            x2 = jax.random.uniform(k2, mixed.shape, minval=minval,
+                                    maxval=maxval)
+        else:
+            mixed = preprocess_mixture(mixed, minval, maxval,
+                                       args.use_logit, alpha)
+            x1 = jax.random.uniform(k1, mixed.shape)
+            x2 = jax.random.uniform(k2, mixed.shape)
         write_wav("ground_truth1.wav", raw_audio[1], spec["sr"])
         write_wav("ground_truth2.wav", raw_audio[2], spec["sr"])
         write_wav("mix.wav", raw_audio[0], spec["sr"])
@@ -164,10 +213,12 @@ def main(args):
                                 compute_dtype=compute_dtype)
         rng, k_init = jax.random.split(rng)
         template = model.init_params(k_init)
-        p1 = restore_ncsn_params(abs_restore_1, template)
-        print(f"Model 1 restored from {abs_restore_1}")
-        p2 = restore_ncsn_params(abs_restore_2, template)
-        print(f"Model 2 restored from {abs_restore_2}")
+        p1 = restore_ncsn_params(abs_restore_1, template, ema=args.ema)
+        print(f"Model 1 restored from {abs_restore_1}"
+              + (" (EMA weights)" if args.ema else ""))
+        p2 = restore_ncsn_params(abs_restore_2, template, ema=args.ema)
+        print(f"Model 2 restored from {abs_restore_2}"
+              + (" (EMA weights)" if args.ema else ""))
         stacked = stack_pytrees(p1, p2)
         if mesh is not None:
             stacked = replicate(stacked, mesh)
@@ -234,7 +285,8 @@ def main(args):
     # ---------------- save results ----------------------------------------
     def post(x):
         return np.asarray(postprocess(jnp.asarray(x), minval, maxval,
-                                      args.use_logit, alpha, data_type))
+                                      args.use_logit, alpha, data_type,
+                                      rescale=not model_scale))
 
     def squeeze_ch(a):
         # drop only the trailing channel axis (plain .squeeze() would also
@@ -298,6 +350,9 @@ if __name__ == "__main__":
     parser.add_argument("--inverse", action="store_true")
     parser.add_argument("--model_type", type=str, default="ncsn")
     parser.add_argument("--version", type=str, default="v1")
+    parser.add_argument("--ema", action="store_true",
+                        help="restore the EMA weights of NCSN priors "
+                             "(reference ncsn_generate_samples.py:88-89)")
     parser.add_argument("--compute_dtype", type=str, default="f32",
                         help="f32 (reference numerics) or bf16 (TPU fast "
                              "path: ~1.5x faster separation)")

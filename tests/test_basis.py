@@ -190,6 +190,96 @@ class TestGlowPriorPath:
         np.testing.assert_allclose(s1[1], 3.0, atol=1e-6)
 
 
+class TestGlowSeparationQuality:
+    """Separation *quality* (not just finiteness) for the Glow-prior path.
+
+    Glow priors are trained on raw dB-scale data (their SpecPreprocessing
+    bijector rescales internally), so BASIS must run in data scale. Two
+    tiny Glow priors are trained on structurally distinct dB 'spectrogram'
+    distributions (tone rows at different mel bins); after separation each
+    estimate must adopt its own prior's structure. Running the glow path
+    at the wrong scale (e.g. the round-1 [0,1] preprocessing) makes the
+    prior gradient meaningless and this test fails.
+    """
+
+    H = W = 8
+    MINV, MAXV = -100.0, 20.0
+
+    def _make_source(self, rng, rows, n):
+        x = rng.normal(-80.0, 2.0, size=(n, self.H, self.W, 1))
+        for r in rows:
+            x[:, r, :, 0] = rng.normal(0.0, 2.0, size=(n, self.W))
+        return np.clip(x, self.MINV, self.MAXV).astype(np.float32)
+
+    def _train_prior(self, key, data, steps=350):
+        import optax
+        from audiosourcesep_tpu.models import build_glow
+        model, params = build_glow(key, jnp.asarray(data[:32]),
+                                   (self.H, self.W, 1), L=2, K=2,
+                                   n_filters=16, learntop=True,
+                                   data_type="melspec", minval=self.MINV,
+                                   maxval=self.MAXV)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, batch, k):
+            loss, g = jax.value_and_grad(
+                lambda p: -jnp.mean(model.log_prob(p, batch, k)))(params)
+            up, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, up), opt_state, loss
+
+        k = jax.random.PRNGKey(1)
+        data = jnp.asarray(data)
+        for _ in range(steps):
+            k, k1, k2 = jax.random.split(k, 3)
+            idx = jax.random.randint(k1, (32,), 0, data.shape[0])
+            params, opt_state, _ = step(params, opt_state, data[idx], k2)
+        return model, params
+
+    def test_data_scale_glow_basis_separates_structure(self):
+        from audiosourcesep_tpu.models.ncsn import get_sigmas
+        from audiosourcesep_tpu.separation import (basis_separate_per_level,
+                                                   glow_score_fn)
+        rng = np.random.RandomState(0)
+        rows_a, rows_b = (1, 2), (5, 6)
+        data_a = self._make_source(rng, rows_a, 256)
+        data_b = self._make_source(rng, rows_b, 256)
+        model, p_a = self._train_prior(jax.random.PRNGKey(0), data_a)
+        _, p_b = self._train_prior(jax.random.PRNGKey(3), data_b)
+
+        g, _ = mixing_process("melspec", "dB")
+        gt_a, gt_b = jnp.asarray(data_a[:4]), jnp.asarray(data_b[:4])
+        mixed = g(jnp.stack([gt_a, gt_b]))
+
+        sigmas = get_sigmas(1.0, 0.01, 5)
+        per_level = stack_pytrees(
+            *[stack_pytrees(p_a, p_b) for _ in sigmas])
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        # data-scale uniform init, as the driver does for glow priors
+        x0 = jnp.stack([
+            jax.random.uniform(k1, gt_a.shape, minval=self.MINV,
+                               maxval=self.MAXV),
+            jax.random.uniform(k2, gt_a.shape, minval=self.MINV,
+                               maxval=self.MAXV)])
+        cfg = BasisConfig(T=50, delta=2e-5, data_type="melspec",
+                          scale="dB", collect_trajectory=False)
+        out, _ = basis_separate_per_level(
+            glow_score_fn(model.log_prob), per_level, mixed, x0, sigmas,
+            k3, cfg)
+        x1, x2 = np.asarray(out[0]), np.asarray(out[1])
+
+        def row_energy(x, rows):
+            return float(np.mean([x[:, r].mean() for r in rows]))
+
+        # each estimate adopts its own prior's tone rows (>= 5 dB margin)
+        assert row_energy(x1, rows_a) > row_energy(x1, rows_b) + 5.0
+        assert row_energy(x2, rows_b) > row_energy(x2, rows_a) + 5.0
+        # and the mixture constraint is satisfied in the dB mixing model
+        err = np.abs(np.asarray(g(out)) - np.asarray(mixed)).mean()
+        assert err < 1.0, err
+
+
 class TestBasisConvergence:
     def test_separates_toward_prior_means_under_mixture_constraint(self):
         """With sharp Gaussian priors at mu1/mu2 and mixed = mean(mu1, mu2)

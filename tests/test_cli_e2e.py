@@ -71,7 +71,7 @@ def trained_ncsn_dir(tmp_path_factory, dataset_dir):
     run_cli("train_ncsn.py", "--dataset", dataset_dir, "--output", out,
             "--debug", "--n_filters", "4", "--num_classes", "2",
             "--n_epochs", "1", "--batch_size", "2", "--T", "1",
-            "--version", "v1")
+            "--version", "v1", "--ema")
     assert os.path.exists(os.path.join(out, "ckpts", "checkpoint.json"))
     assert os.path.exists(os.path.join(out, "out.log"))
     return out
@@ -164,7 +164,8 @@ class TestRemainingCLIs:
         run_cli("ncsn_generate_samples.py", trained_ncsn_dir,
                 "--output", out, "--debug", "--dataset", "melspec",
                 "--version", "v1", "--n_samples", "2", "--T", "1",
-                "--num_classes", "2", "--n_filters", "4", "--return_arr")
+                "--num_classes", "2", "--n_filters", "4", "--return_arr",
+                "--ema")
         samples = np.load(os.path.join(out, "generated_samples.npy"))
         # return_arr: [levels+1, n, H, W, C]
         assert samples.shape == (3, 2, 96, 64, 1)
@@ -177,7 +178,7 @@ class TestRemainingCLIs:
                 "--output", out, "--debug", "--dataset", "melspec",
                 "--song_dir", song_dir, "--model_type", "ncsn",
                 "--version", "v1", "--n_mixed", "1", "--T", "1",
-                "--num_classes", "2", "--n_filters", "4")
+                "--num_classes", "2", "--n_filters", "4", "--ema")
         run_cli("melspec_inversion_basis.py", out, "--debug",
                 "--algorithm", "griffin", "--method", "frame")
         inv = np.load(os.path.join(out, "inverse_griffin_frame",

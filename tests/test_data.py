@@ -46,6 +46,49 @@ class TestWav:
         assert x.shape == (967680,)
         assert np.abs(x).max() <= 1.0
 
+    def _write_extensible(self, path, payload, sub_format, bits, sr=8000):
+        """Hand-build a WAVE_FORMAT_EXTENSIBLE mono file."""
+        import struct
+        guid = struct.pack("<IHH", sub_format, 0, 0x0010) \
+            + b"\x80\x00\x00\xAA\x00\x38\x9B\x71"
+        ext = struct.pack("<HHI", 22, bits, 0x4) + guid
+        fmt_body = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * bits // 8,
+                               bits // 8, bits) + ext
+        with open(path, "wb") as f:
+            f.write(b"RIFF")
+            f.write(struct.pack("<I", 4 + 8 + len(fmt_body) + 8
+                                + len(payload)))
+            f.write(b"WAVEfmt ")
+            f.write(struct.pack("<I", len(fmt_body)))
+            f.write(fmt_body)
+            f.write(b"data")
+            f.write(struct.pack("<I", len(payload)))
+            f.write(payload)
+
+    def test_extensible_int32_pcm(self, tmp_path):
+        """32-bit integer PCM in an extensible container must decode via
+        the SubFormat GUID, not be misread as float32."""
+        x = np.linspace(-0.5, 0.5, 64).astype(np.float64)
+        ints = np.round(x * 2147483647).astype("<i4")
+        p = str(tmp_path / "ext_i32.wav")
+        self._write_extensible(p, ints.tobytes(), sub_format=1, bits=32)
+        y, sr = read_wav(p)
+        assert sr == 8000
+        np.testing.assert_allclose(y, x, atol=1e-6)
+
+    def test_extensible_float32(self, tmp_path):
+        x = np.linspace(-1, 1, 32).astype("<f4")
+        p = str(tmp_path / "ext_f32.wav")
+        self._write_extensible(p, x.tobytes(), sub_format=3, bits=32)
+        y, _ = read_wav(p)
+        np.testing.assert_allclose(y, x, atol=1e-7)
+
+    def test_extensible_unknown_subformat_raises(self, tmp_path):
+        p = str(tmp_path / "ext_bad.wav")
+        self._write_extensible(p, b"\x00" * 8, sub_format=6, bits=8)
+        with pytest.raises(ValueError, match="sub-format"):
+            read_wav(p)
+
     def test_resample(self):
         t = np.arange(8000) / 8000.0
         x = np.sin(2 * np.pi * 100 * t).astype(np.float32)

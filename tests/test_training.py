@@ -199,3 +199,47 @@ class TestMiscTrainUtils:
         p = {"w": jnp.ones(2)}
         out = ema_update(ema, p, decay=0.9)
         np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+
+class TestRestorePriors:
+    """restore_ncsn_params: EMA serving + strict fail-fast restore."""
+
+    def _save_state(self, d, with_ema=True):
+        from audiosourcesep_tpu.training import CheckpointManager
+        state = {"params": {"w": np.full((2, 2), 1.0, np.float32)},
+                 "opt_state": {"m": np.zeros(3, np.float32)},
+                 "step": np.asarray(5)}
+        if with_ema:
+            state["ema_params"] = {"w": np.full((2, 2), 2.0, np.float32)}
+        CheckpointManager(os.path.join(d, "ckpts")).save(state, 5)
+
+    def test_raw_vs_ema_subtree(self, tmp_path):
+        from run_basis_sep import restore_ncsn_params
+        self._save_state(str(tmp_path))
+        template = {"w": np.zeros((2, 2), np.float32)}
+        raw = restore_ncsn_params(str(tmp_path), template)
+        np.testing.assert_allclose(raw["w"], 1.0)
+        ema = restore_ncsn_params(str(tmp_path), template, ema=True)
+        np.testing.assert_allclose(ema["w"], 2.0)
+
+    def test_ema_missing_raises(self, tmp_path):
+        from run_basis_sep import restore_ncsn_params
+        self._save_state(str(tmp_path), with_ema=False)
+        template = {"w": np.zeros((2, 2), np.float32)}
+        with pytest.raises(KeyError, match="EMA"):
+            restore_ncsn_params(str(tmp_path), template, ema=True)
+
+    def test_strict_restore_fails_fast(self, tmp_path):
+        """A model/checkpoint hyperparameter mismatch must raise, not run
+        with partially-random priors (the reference fails via
+        assert_existing_objects_matched)."""
+        from run_basis_sep import restore_ncsn_params
+        self._save_state(str(tmp_path))
+        with pytest.raises(KeyError):
+            restore_ncsn_params(
+                str(tmp_path),
+                {"w": np.zeros((2, 2), np.float32),
+                 "extra_layer": np.zeros(4, np.float32)})
+        with pytest.raises(ValueError, match="shape mismatch"):
+            restore_ncsn_params(str(tmp_path),
+                                {"w": np.zeros((3, 3), np.float32)})
