@@ -61,23 +61,29 @@ def load_multiple_wav(path: str, length_sec: float) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 class ArrayDataset:
-    """Shuffled, batched iteration over a numpy array (drop_remainder),
-    with optional per-host sharding for multi-host TPU slices."""
+    """Shuffled, batched iteration over a numpy array (drop_remainder by
+    default, like the reference's training batches; ``drop_remainder=False``
+    keeps the final partial batch — the reference's eval batching), with
+    optional per-host sharding for multi-host TPU slices."""
 
     def __init__(self, data: np.ndarray, batch_size: Optional[int],
                  shuffle: bool = True, seed: int = 0,
-                 num_hosts: int = 1, host_id: int = 0):
+                 num_hosts: int = 1, host_id: int = 0,
+                 drop_remainder: bool = True):
         if num_hosts > 1:
             data = data[host_id::num_hosts]
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
         if self.batch_size is None:
             return len(self.data)
-        return len(self.data) // self.batch_size
+        if self.drop_remainder:
+            return len(self.data) // self.batch_size
+        return -(-len(self.data) // self.batch_size)
 
     @property
     def n_examples(self) -> int:
@@ -91,7 +97,7 @@ class ArrayDataset:
         if bs is None:
             yield self.data[idx]
             return
-        for i in range(len(self.data) // bs):
+        for i in range(len(self)):
             yield self.data[idx[i * bs:(i + 1) * bs]]
 
 
@@ -127,7 +133,13 @@ def load_melspec_ds(train_dirpath: str, test_dirpath: str,
                             num_hosts, host_id)
     ds_test = ArrayDataset(test, batch_size, shuffle, seed + 1,
                            num_hosts, host_id)
-    minibatch = next(iter(ds_train))
+    if num_hosts > 1:
+        # data-dependent init (Glow ActNorm) must see the SAME minibatch on
+        # every host or the replicated initial params diverge across
+        # processes; draw it deterministically from the pre-shard data
+        minibatch = train[:max(batch_size, 1)]
+    else:
+        minibatch = next(iter(ds_train))
     return ds_train, ds_test, minibatch, n_train, n_test
 
 
@@ -141,15 +153,19 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
 
     Tries the Keras dataset cache (no network in this environment; a
     pre-populated ``~/.keras/datasets`` or ``data_dir`` with ``mnist.npz`` /
-    cifar batches works). Returns ``(ds_train, ds_test, minibatch)``.
+    cifar batches works). ``scripts/build_mnist_cache.py`` builds the cache
+    from raw IDX files — or, offline, a clearly-labeled digits stand-in.
+    The ``ASR_MNIST_NPZ`` env var overrides the cache path (used by tests).
+    Returns ``(ds_train, ds_test, minibatch)``.
     """
     if dataset == "mnist":
-        path = data_dir or os.path.expanduser(
-            "~/.keras/datasets/mnist.npz")
+        path = (data_dir or os.environ.get("ASR_MNIST_NPZ")
+                or os.path.expanduser("~/.keras/datasets/mnist.npz"))
         if not os.path.exists(path):
             raise FileNotFoundError(
-                f"MNIST cache not found at {path}; place mnist.npz there "
-                "(no network access in this environment)")
+                f"MNIST cache not found at {path}; build it with "
+                "scripts/build_mnist_cache.py (no network access in this "
+                "environment)")
         with np.load(path) as d:
             x_train, x_test = d["x_train"], d["x_test"]
         x_train = np.pad(x_train, ((0, 0), (2, 2), (2, 2)))[..., None]
@@ -163,7 +179,7 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
     x_train = x_train.astype(np.float32)
     x_test = x_test.astype(np.float32)
     ds_train = ArrayDataset(x_train, batch_size, True, seed)
-    ds_test = ArrayDataset(x_test, 5000, False, seed)
+    ds_test = ArrayDataset(x_test, 5000, False, seed, drop_remainder=False)
     minibatch = next(iter(ds_train))
     return ds_train, ds_test, minibatch
 

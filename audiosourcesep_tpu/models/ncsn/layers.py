@@ -20,6 +20,32 @@ from ... import nn
 Array = jax.Array
 
 
+def _norm2dplus(x, scale, alpha, bias, eps_in=1e-3, eps_means=1e-5):
+    """InstanceNorm2d+ with folded [N, C] affine rows, written for XLA:
+
+        out = scale * (x - mean_hw) * rsqrt(var_hw + eps)
+              + alpha * norm_c(mean_hw) + bias
+
+    Statistics come from ONE pass over x (sum and sum-of-squares fuse into
+    a single f32-accumulating reduction loop; ``jnp.var``'s two-pass
+    formulation reads x twice more), and the whole normalisation collapses
+    to one multiply-add per element: ``x * a + b``. Measured on v5e this
+    beats both the naive 3-pass lowering and a Pallas whole-sample kernel
+    (a ``pallas_call`` is a fusion barrier — XLA's conv-epilogue fusion
+    around the norm wins; see docs/DESIGN.md "Pallas").
+    """
+    xf = x.astype(jnp.float32)
+    s1 = jnp.mean(xf, axis=(1, 2), keepdims=True)             # [N,1,1,C]
+    s2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+    var = s2 - s1 * s1
+    m = jnp.mean(s1, axis=-1, keepdims=True)
+    v = jnp.mean(s1 * s1, axis=-1, keepdims=True) - m * m
+    means_n = (s1 - m) * jax.lax.rsqrt(v + eps_means)
+    a = scale[:, None, None, :] * jax.lax.rsqrt(var + eps_in)
+    b = alpha[:, None, None, :] * means_n + bias[:, None, None, :] - a * s1
+    return (xf * a + b).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # normalisers
 # ---------------------------------------------------------------------------
@@ -30,6 +56,9 @@ class InstanceNorm2dPlus:
     Normalises instance means across channels and reinjects them via a
     learnable ``alpha``, so the score keeps per-sample scale information:
     ``out = gamma * IN(x) + norm(mean_c(x)) * alpha + beta``.
+
+    Computed via :func:`_norm2dplus` with the instance-norm affine and the
+    outer gamma/beta folded into per-sample rows.
     """
 
     def __init__(self, num_features: int, bias: bool = True):
@@ -48,17 +77,16 @@ class InstanceNorm2dPlus:
         return p
 
     def apply(self, params, x, y=None):
-        xf = x.astype(jnp.float32)
-        means = jnp.mean(xf, axis=(1, 2), keepdims=True)     # (N,1,1,C)
-        m = jnp.mean(means, axis=-1, keepdims=True)
-        v = jnp.var(means, axis=-1, keepdims=True)
-        means = ((means - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
-        h = nn.instance_norm(params["in"], x)
-        out = (params["gamma"].astype(x.dtype) * h
-               + means * params["alpha"].astype(x.dtype))
+        N = x.shape[0]
+        g_in = params["in"].get("gamma", 1.0)
+        b_in = params["in"].get("beta", 0.0)
+        scale = params["gamma"] * g_in
+        bias = params["gamma"] * b_in
         if self.bias:
-            out = out + params["beta"].astype(x.dtype)
-        return out
+            bias = bias + params["beta"]
+        tile = lambda r: jnp.broadcast_to(r, (N, self.num_features))
+        return _norm2dplus(x, tile(scale), tile(params["alpha"]),
+                           tile(bias))
 
 
 class ConditionalInstanceNorm2dPlus:
@@ -85,19 +113,15 @@ class ConditionalInstanceNorm2dPlus:
         return p
 
     def apply(self, params, x, y):
-        xf = x.astype(jnp.float32)
-        means = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        m = jnp.mean(means, axis=-1, keepdims=True)
-        v = jnp.var(means, axis=-1, keepdims=True)
-        means = ((means - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
-        h = nn.instance_norm(params["in"], x)
-        gamma = params["embed_gamma"][y][:, None, None, :].astype(x.dtype)
-        alpha = params["embed_alpha"][y][:, None, None, :].astype(x.dtype)
-        out = gamma * h + means * alpha
+        gamma = params["embed_gamma"][y]                      # [N, C]
+        alpha = params["embed_alpha"][y]
+        g_in = params["in"].get("gamma", 1.0)
+        b_in = params["in"].get("beta", 0.0)
+        scale = gamma * g_in
+        bias = gamma * b_in
         if self.bias:
-            out = out + params["embed_beta"][y][:, None, None,
-                                               :].astype(x.dtype)
-        return out
+            bias = bias + params["embed_beta"][y]
+        return _norm2dplus(x, scale, alpha, bias)
 
 
 def make_normalizer(num_features: int, num_classes: Optional[int],

@@ -184,16 +184,42 @@ def wnconv2d(params: dict, x: Array, stride: int = 1,
 # ---------------------------------------------------------------------------
 
 def avg_pool_same(x: Array, window: int, stride: int = 1) -> Array:
-    """Average pooling with SAME padding (counts only valid elements)."""
+    """Average pooling with SAME padding (counts only valid elements).
+
+    Separable formulation: a KxK sum window is the composition of Kx1 and
+    1xK sum windows, and the SAME valid-count is the product of the per-axis
+    counts — identical math to the single 2-D ``reduce_window``, at O(2K)
+    instead of O(K^2) reads per element. (Only exact for stride 1, which is
+    the only stride the model uses; a 2-D window with stride would sample
+    different row phases.)
+    """
+    if stride != 1:
+        ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+        dims = (1, window, window, 1)
+        strides = (1, stride, stride, 1)
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, "SAME")
+        n = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides,
+                                  "SAME")
+        return s / n
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, window, 1, 1),
+                              (1, 1, 1, 1), "SAME")
+    s = jax.lax.reduce_window(s, 0.0, jax.lax.add, (1, 1, window, 1),
+                              (1, 1, 1, 1), "SAME")
     ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
-    dims = (1, window, window, 1)
-    strides = (1, stride, stride, 1)
-    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, "SAME")
-    n = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, "SAME")
+    n = jax.lax.reduce_window(ones, 0.0, jax.lax.add, (1, window, 1, 1),
+                              (1, 1, 1, 1), "SAME")
+    n = jax.lax.reduce_window(n, 0.0, jax.lax.add, (1, 1, window, 1),
+                              (1, 1, 1, 1), "SAME")
     return s / n
 
 
 def max_pool_same(x: Array, window: int, stride: int = 1) -> Array:
+    if stride == 1:
+        # separable (exact for stride 1): KxK max = Kx1 max then 1xK max
+        h = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                  (1, window, 1, 1), (1, 1, 1, 1), "SAME")
+        return jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                     (1, 1, window, 1), (1, 1, 1, 1), "SAME")
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, window, window, 1),
         (1, stride, stride, 1), "SAME")
@@ -206,7 +232,12 @@ def avg_pool2(x: Array) -> Array:
 
 
 def resize_bilinear(x: Array, size: Tuple[int, int]) -> Array:
-    """tf.image.resize default: bilinear, half-pixel centers, no antialias."""
+    """tf.image.resize default: bilinear, half-pixel centers, no antialias.
+
+    Same-size resize is the identity (common in the RefineNet MSF blocks,
+    where inputs often already share the target resolution)."""
+    if (x.shape[1], x.shape[2]) == tuple(size):
+        return x
     return jax.image.resize(
         x, (x.shape[0], size[0], size[1], x.shape[3]), method="bilinear")
 
