@@ -31,6 +31,37 @@ def apply_config_override(args: argparse.Namespace,
     return new_args
 
 
+def maybe_init_multihost(args) -> None:
+    """Initialise multi-host JAX when ``--multihost`` is set.
+
+    Must run before any other JAX API call in the process. Extends the
+    reference (single-host ``MirroredStrategy`` only, SURVEY.md §2) to TPU
+    pod slices; on Cloud TPU the coordinator/process arguments auto-detect
+    from the environment, elsewhere (the 2-process CPU test cluster) pass
+    them explicitly.
+    """
+    if not getattr(args, "multihost", False):
+        return
+    from .parallel import init_distributed
+
+    init_distributed(getattr(args, "coordinator_address", None),
+                     getattr(args, "num_processes", None),
+                     getattr(args, "process_id", None))
+    import jax
+
+    print(f"Multi-host initialised: process {jax.process_index()} of "
+          f"{jax.process_count()}, {jax.device_count()} global devices")
+
+
+def add_multihost_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialise jax.distributed (TPU pod slices; "
+                             "auto-detects on Cloud TPU)")
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+
+
 def setup_output_dir(output: str, debug: bool):
     """mkdir + chdir + redirect stdout to out.log unless debug."""
     os.makedirs(output, exist_ok=True)
@@ -60,8 +91,17 @@ def resolve_dataset(args) -> dict:
 
     train_dir = os.path.join(args.dataset, "train")
     test_dir = os.path.join(args.dataset, "test")
+    # multi-host: each process loads its own shard and iterates the local
+    # slice of the global batch (reassembled at transfer time by
+    # put_global_batch); args.batch_size stays the GLOBAL batch, matching
+    # the reference's global/local split (out.log: "local_batch_size 8 of
+    # global 32" on 4 replicas)
+    import jax
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+    local_bs = max(args.batch_size // n_proc, 1)
     ds_train, ds_test, minibatch, n_train, n_test = load_melspec_ds(
-        train_dir, test_dir, batch_size=args.batch_size)
+        train_dir, test_dir, batch_size=local_bs,
+        num_hosts=n_proc, host_id=proc_id)
     shape = tuple(minibatch.shape[1:])
     scale = getattr(args, "scale", "dB")
     if scale == "power":

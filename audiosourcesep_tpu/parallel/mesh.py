@@ -51,6 +51,33 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def put_global_batch(batch: Any, mesh: Optional[Mesh],
+                     batch_axis: int = 0) -> Any:
+    """Device-put one batch with the batch axis sharded over ``mesh``.
+
+    Single-process: a plain sharded ``device_put``. Multi-process (TPU pod
+    slices / the 2-process CPU test cluster): ``batch`` is this host's local
+    shard of the global batch (the loaders shard per host via
+    ``num_hosts``/``host_id``), assembled into one global array with
+    ``host_local_array_to_global_array`` — the analog of the reference's
+    ``strategy.experimental_distribute_dataset`` (data_loader.py:104-107),
+    except sharding happens at transfer time instead of graph rewrite time.
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray(batch)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(batch),
+                              batch_sharding(mesh, batch_axis))
+    from jax.experimental import multihost_utils
+
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = mesh.axis_names[0]
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(batch), mesh, P(*spec))
+
+
 def make_mesh_for_batch(batch_size: int,
                         axis_name: str = DATA_AXIS) -> Optional[Mesh]:
     """Data mesh over the largest device count that divides ``batch_size``.

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import batch_sharding
+from ..parallel import put_global_batch
 from .checkpoint import CheckpointManager
 from .train_utils import is_bad
 
@@ -62,13 +62,12 @@ def run_training(state: Any,
         os.path.join(config.output_dir, config.issues_ckpt_dir), 3)
         if config.loss_jump_threshold else None)
 
-    data_shard = None if mesh is None else batch_sharding(mesh)
-
     def put(batch):
-        batch = jnp.asarray(batch)
-        if data_shard is not None:
-            batch = jax.device_put(batch, data_shard)
-        return batch
+        return put_global_batch(batch, mesh)
+
+    # multi-host: every process runs the same control flow on replicated
+    # losses, but only process 0 writes checkpoints
+    is_main = jax.process_index() == 0
 
     n_train = max(ds_train.n_examples, 1)
     steps_per_epoch = max(len(ds_train), 1)
@@ -113,8 +112,9 @@ def run_training(state: Any,
                         and curr_avg - prev_history_avg
                         > config.loss_jump_threshold):
                     print("Huge gap in the loss")
-                    path = manager_issues.save(state, count_step)
-                    print(f"Model weights saved at {path}")
+                    if is_main:
+                        path = manager_issues.save(state, count_step)
+                        print(f"Model weights saved at {path}")
                 prev_history_avg = curr_avg
         epoch_losses.extend(float(jax.device_get(l)) for l in window_losses)
 
@@ -139,8 +139,9 @@ def run_training(state: Any,
             if val_loss < min_val_loss:
                 min_val_loss = val_loss
                 state["step"] = jnp.asarray(count_step)
-                save_path = manager.save(state, count_step)
-                print(f"Model Saved at {save_path}")
+                if is_main:
+                    save_path = manager.save(state, count_step)
+                    print(f"Model Saved at {save_path}")
 
         if (sample_fn is not None and config.sample_every_epochs
                 and (epoch % config.sample_every_epochs == 0
@@ -149,8 +150,9 @@ def run_training(state: Any,
             sample_fn(state, epoch, sample_rng)
 
     state["step"] = jnp.asarray(count_step)
-    save_path = manager.save(state, count_step)
-    print(f"Model Saved at {save_path}")
+    if is_main:
+        save_path = manager.save(state, count_step)
+        print(f"Model Saved at {save_path}")
     return LoopResult(state=state, training_time=time.time() - t0,
                       save_path=save_path, aborted_nan=is_nan_loss,
                       history=history)

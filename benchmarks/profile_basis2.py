@@ -65,6 +65,7 @@ def scan_time(fn, params, x, iters=10, reps=2, feedback=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", action="store_true")
+    ap.add_argument("--vmap", action="store_true")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
@@ -72,12 +73,12 @@ def main():
     x = jax.random.uniform(k2, (2, N_FRAMES, *DATA_SHAPE))
     labels = jnp.zeros((N_FRAMES,), jnp.int32)
 
-    def build(name, **kw):
+    def build(name, score_mode="sequential", **kw):
         model = get_score_model("v1", DATA_SHAPE, N_FILTERS, NUM_CLASSES,
                                 compute_dtype=jnp.bfloat16, **kw)
         p1, p2 = model.init_params(k0), model.init_params(k1)
         stacked = stack_pytrees(p1, p2)
-        score = ncsn_score_fn(model.apply)
+        score = ncsn_score_fn(model.apply, mode=score_mode)
         dt = scan_time(lambda p, v: score(p, v, labels, jnp.asarray(0)),
                        stacked, x,
                        feedback=lambda y, x0: 0.01 * y.astype(x0.dtype))
@@ -88,6 +89,8 @@ def main():
         return dt
 
     build("baseline")
+    if args.vmap:
+        build("vmap-score", score_mode="vmap")
 
     if not args.convs:
         return

@@ -24,6 +24,7 @@ from audiosourcesep_tpu.utils import total_trainable_variables
 
 
 def main(args):
+    cli.maybe_init_multihost(args)
     args = cli.apply_config_override(args)
     data = cli.resolve_dataset(args)
 
@@ -84,6 +85,23 @@ def main(args):
                           mesh=mesh)
     print(f"Training time: {result.training_time:.1f}s; "
           f"saved at {result.save_path}")
+    # bits/dim (image) / bits-per-pixel (melspec) on the test set — the
+    # thesis's parity metric (Tables 3.1/3.4)
+    bpd_fn = jax.jit(lambda p, b, k: jnp.mean(model.bits_per_dim(p, b, k)))
+    bpds = []
+    rng_eval = jax.random.PRNGKey(123)
+    for batch in data["ds_test"]:
+        rng_eval, k = jax.random.split(rng_eval)
+        bpds.append(float(bpd_fn(result.state["params"],
+                                 jnp.asarray(batch, jnp.float32), k)))
+    if bpds:
+        print(f"Validation bits/dim: {float(np.mean(bpds)):.4f}")
+    if getattr(args, "multihost", False):
+        # orderly multi-process teardown: a process exiting while peers are
+        # still running trips the coordination-service heartbeat
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("end_of_training")
+        jax.distributed.shutdown()
     log_file.close()
 
 
@@ -116,4 +134,5 @@ if __name__ == "__main__":
     # preprocessing
     parser.add_argument("--use_logit", action="store_true")
     parser.add_argument("--alpha", type=float, default=None)
+    cli.add_multihost_flags(parser)
     main(parser.parse_args())

@@ -35,6 +35,7 @@ def preprocess(X, minval, maxval, use_logit, alpha):
 
 
 def main(args):
+    cli.maybe_init_multihost(args)
     args = cli.apply_config_override(args)
     data = cli.resolve_dataset(args)
 
@@ -105,13 +106,19 @@ def main(args):
     cli.print_params(args, train_writer)
     cfg = LoopConfig(n_epochs=args.n_epochs, batch_size=args.batch_size,
                      losses_per_epoch=5, val_every_epochs=10,
-                     sample_every_epochs=50)
+                     sample_every_epochs=args.sample_every)
     result = run_training(state, step, eval_loss, data["ds_train"],
                           data["ds_test"], cfg, rng, sample_fn=sample_fn,
                           train_writer=train_writer,
                           test_writer=test_writer, mesh=mesh)
     print(f"Training time: {result.training_time:.1f}s; "
           f"saved at {result.save_path}")
+    if getattr(args, "multihost", False):
+        # orderly multi-process teardown: a process exiting while peers are
+        # still running trips the coordination-service heartbeat
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("end_of_training")
+        jax.distributed.shutdown()
     log_file.close()
 
 
@@ -138,6 +145,9 @@ if __name__ == "__main__":
     parser.add_argument("--progression", type=str, default="logarithmic")
     # langevin
     parser.add_argument("--T", type=int, default=100)
+    parser.add_argument("--sample_every", type=int, default=50,
+                        help="epochs between Langevin sampling snapshots "
+                             "(reference: every 50, train_ncsn.py:150)")
     parser.add_argument("--step_lr", type=float, default=2e-5)
     # optimization
     parser.add_argument("--n_epochs", type=int, default=400)
@@ -147,4 +157,5 @@ if __name__ == "__main__":
     # preprocessing
     parser.add_argument("--use_logit", action="store_true")
     parser.add_argument("--alpha", type=float, default=None)
+    cli.add_multihost_flags(parser)
     main(parser.parse_args())

@@ -24,6 +24,7 @@ from audiosourcesep_tpu.utils import total_trainable_variables
 
 
 def main(args):
+    cli.maybe_init_multihost(args)
     restore_root = os.path.abspath(args.RESTORE) if args.RESTORE else None
     args = cli.apply_config_override(args)
     data = cli.resolve_dataset(args)
@@ -53,6 +54,12 @@ def main(args):
         n_epochs_per_sigma=args.n_epochs, batch_size=args.batch_size,
         output_dir=".", restore_path=restore_dir, rng=rng, mesh=mesh)
     print(f"Noise-conditioned checkpoints: {dirs}")
+    if getattr(args, "multihost", False):
+        # orderly multi-process teardown: a process exiting while peers are
+        # still running trips the coordination-service heartbeat
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("end_of_training")
+        jax.distributed.shutdown()
     log_file.close()
 
 
@@ -87,4 +94,5 @@ if __name__ == "__main__":
     # preprocessing
     parser.add_argument("--use_logit", action="store_true")
     parser.add_argument("--alpha", type=float, default=None)
+    cli.add_multihost_flags(parser)
     main(parser.parse_args())
