@@ -171,8 +171,17 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
         x_train = np.pad(x_train, ((0, 0), (2, 2), (2, 2)))[..., None]
         x_test = np.pad(x_test, ((0, 0), (2, 2), (2, 2)))[..., None]
     elif dataset == "cifar10":
-        from tensorflow.keras.datasets import cifar10  # cached-only
-        (x_train, _), (x_test, _) = cifar10.load_data()
+        npz = (data_dir or os.environ.get("ASR_CIFAR10_NPZ")
+               or os.path.expanduser("~/.keras/datasets/cifar10.npz"))
+        if os.path.exists(npz):
+            with np.load(npz) as d:
+                x_train, x_test = d["x_train"], d["x_test"]
+        else:
+            # falls back to the Keras cache (~/.keras/datasets); build the
+            # npz from the standard python-pickle batches with
+            # scripts/build_cifar10_cache.py when offline
+            from tensorflow.keras.datasets import cifar10  # cached-only
+            (x_train, _), (x_test, _) = cifar10.load_data()
     else:
         raise ValueError("dataset should be mnist or cifar10")
 

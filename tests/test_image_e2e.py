@@ -107,3 +107,38 @@ def test_basis_image_separation(mnist_cache, trained_image_ncsn, tmp_path):
     mse = np.mean((x1 - gt1) ** 2, axis=(1, 2))
     psnr = 10 * np.log10(255.0 ** 2 / np.maximum(mse, 1e-12))
     assert np.isfinite(psnr).all()
+
+
+def test_cifar10_cache_roundtrip(tmp_path, monkeypatch):
+    """build_cifar10_cache.py on synthetic standard-format batches ->
+    load_toydata('cifar10') shapes/range."""
+    import pickle
+
+    batches = tmp_path / "cifar-10-batches-py"
+    batches.mkdir()
+    rng = np.random.RandomState(0)
+
+    def write_batch(name, n):
+        with open(batches / name, "wb") as f:
+            pickle.dump({b"data": rng.randint(
+                0, 256, size=(n, 3072), dtype=np.uint8).astype(np.uint8),
+                b"labels": list(rng.randint(0, 10, size=n))}, f)
+
+    for i in range(1, 6):
+        write_batch(f"data_batch_{i}", 20)
+    write_batch("test_batch", 10)
+
+    out = str(tmp_path / "cifar10.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/build_cifar10_cache.py"),
+         str(batches), "--out", out],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    monkeypatch.setenv("ASR_CIFAR10_NPZ", out)
+    from audiosourcesep_tpu.data import load_toydata
+    ds_train, ds_test, minibatch = load_toydata("cifar10", batch_size=10)
+    assert minibatch.shape == (10, 32, 32, 3)
+    assert ds_train.n_examples == 100 and ds_test.n_examples == 10
+    assert minibatch.min() >= 0.0 and minibatch.max() < 256.0
