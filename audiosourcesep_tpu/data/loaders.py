@@ -131,8 +131,13 @@ def load_melspec_ds(train_dirpath: str, test_dirpath: str,
 
     ds_train = ArrayDataset(train, batch_size, shuffle, seed,
                             num_hosts, host_id)
+    # keep the eval remainder on single host (a test split smaller than the
+    # batch otherwise yields ZERO validation batches -> NaN val loss); with
+    # multiple hosts remainders could give hosts different batch counts
+    # (collective deadlock), so there the reference's drop-remainder stands
     ds_test = ArrayDataset(test, batch_size, shuffle, seed + 1,
-                           num_hosts, host_id)
+                           num_hosts, host_id,
+                           drop_remainder=num_hosts > 1)
     if num_hosts > 1:
         # data-dependent init (Glow ActNorm) must see the SAME minibatch on
         # every host or the replicated initial params diverge across
