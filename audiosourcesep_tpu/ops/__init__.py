@@ -6,7 +6,8 @@ from .spectrogram import (melspectrogram, melspectrogram_tf_signal,
                           db_limits_to_power)
 from .inversion import (mel_to_stft, griffin_lim, mel_to_audio,
                         single_channel_wiener_filter, phase_reuse,
-                        invert_melspec_reuse_phase)
+                        invert_melspec_reuse_phase,
+                        as_device_complex)
 
 __all__ = [
     "stft", "istft", "hann_window", "frame_signal",
@@ -17,4 +18,5 @@ __all__ = [
     "mel_to_stft", "griffin_lim", "mel_to_audio",
     "single_channel_wiener_filter", "phase_reuse",
     "invert_melspec_reuse_phase",
+    "as_device_complex",
 ]

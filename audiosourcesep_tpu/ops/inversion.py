@@ -107,6 +107,19 @@ def mel_to_audio(melspec: Array, key: Array, sr: int = 16000,
                        n_iter=n_iter, length=length)
 
 
+def as_device_complex(x: np.ndarray) -> Array:
+    """Transfer a host complex array to the default device as split
+    real/imag (this TPU runtime rejects complex host<->device transfers;
+    complex *compute* on device is fine — the recombination below happens
+    on device)."""
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    re = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return jax.lax.complex(re, im)
+
+
 def single_channel_wiener_filter(psd_sources: Array,
                                  stft_mixture: Array) -> Array:
     """``(PSD_i / sum_j PSD_j) * stft_mix`` (melspec_inversion_basis.py:96-119).

@@ -57,6 +57,22 @@ class TestCheckpoint:
         assert step == 3
         np.testing.assert_allclose(np.asarray(out["w"]), 3.0)
 
+    def test_async_save_latest_wins(self, tmp_path):
+        """save_async must persist the newest snapshot (older queued ones
+        may be dropped) and wait() must block until it is on disk."""
+        mgr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=10)
+        for s in range(8):
+            mgr.save_async({"w": jnp.full((4,), float(s))}, s)
+        mgr.wait()
+        out, step = mgr.restore_latest({"w": jnp.zeros(4)})
+        assert step == 7
+        np.testing.assert_allclose(np.asarray(out["w"]), 7.0)
+        # a second wave after the worker has exited must restart it
+        mgr.save_async({"w": jnp.full((4,), 9.0)}, 9)
+        mgr.wait()
+        out, step = mgr.restore_latest({"w": jnp.zeros(4)})
+        assert step == 9
+
 
 class TestFlowTraining:
     def test_loss_decreases(self):
