@@ -99,15 +99,20 @@ def main():
 
     assert bool(jnp.isfinite(out).all()), "non-finite separation output"
 
+    # XLA cost analysis: 7.728 TFLOP per 1-model forward at batch 30; the
+    # anneal is NUM_CLASSES*T steps x 2 models. v5e bf16 peak 197 TFLOP/s.
+    total_flops = 2 * NUM_CLASSES * T * 7.728e12
     print(json.dumps({
         "metric": "basis_separation_1min_mix_wallclock",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+        "score_evals_per_s": round(2 * NUM_CLASSES * T * N_FRAMES / elapsed),
+        "est_mfu_v5e_bf16": round(total_flops / elapsed / 197e12, 3),
     }))
     print(f"# devices={jax.devices()}  first_call={compile_and_first:.1f}s  "
           f"steady_state={elapsed:.3f}s  "
-          f"score_evals_per_s={2 * NUM_CLASSES * T * N_FRAMES / elapsed:.0f}",
+          f"sustained={total_flops / elapsed / 1e12:.1f} TFLOP/s",
           file=sys.stderr)
 
 

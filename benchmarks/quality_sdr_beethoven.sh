@@ -57,6 +57,11 @@ python run_basis_sep.py $R/ncsn_piano_192_32_dB $R/ncsn_violin_192_32_dB \
     --n_filters 192 --ema --compute_dtype bf16
 
 # ---- inversion + SDR -----------------------------------------------------
+# accelerator inversion (NNLS matmuls + FFTs on the chip; complex arrays
+# cross the host boundary as split real/imag); falls back to CPU
+python melspec_inversion_basis.py $R/basis --debug \
+    --algorithm reuse_phase --method frame --wiener_filter \
+    --device accelerator || \
 JAX_PLATFORMS=cpu python melspec_inversion_basis.py $R/basis --debug \
     --algorithm reuse_phase --method frame --wiener_filter
 
