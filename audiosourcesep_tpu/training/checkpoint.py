@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import threading
 from typing import Any, Optional, Tuple
 
 import jax
@@ -67,28 +66,12 @@ def restore_pytree(path: str, template: Params,
 
 
 class CheckpointManager:
-    """Rolling checkpoint directory (default name ``ckpts``).
-
-    ``save_async`` queues the snapshot to a background writer thread with
-    LATEST-WINS semantics (at most one write in flight, at most one
-    queued; a newer snapshot replaces a queued older one). A synchronous
-    best-val save of a large train state (params + EMA + Adam moments for
-    the 67M-param NCSN is ~1 GB) stalls the training loop for the whole
-    device->host transfer + npz write — measured 10x epoch slowdown on the
-    remote-tunnel TPU whenever val improved every validation. Train states
-    are immutable pytrees (steps replace, never mutate, their arrays), so
-    snapshotting by reference is safe. The orbax-style async pattern,
-    npz-contract-compatible.
-    """
+    """Rolling checkpoint directory (default name ``ckpts``)."""
 
     def __init__(self, directory: str = "./ckpts", max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         self.max_to_keep = max_to_keep
         os.makedirs(self.directory, exist_ok=True)
-        self._lock = threading.Lock()
-        self._pending: Optional[Tuple[Params, int]] = None
-        self._worker: Optional[threading.Thread] = None
-        self._worker_active = False
 
     def _index_path(self) -> str:
         return os.path.join(self.directory, "checkpoint.json")
@@ -109,45 +92,6 @@ class CheckpointManager:
         with open(self._index_path(), "w") as f:
             json.dump(index, f)
         return path + ".npz"
-
-    def save_async(self, tree: Params, step: int) -> str:
-        """Queue a snapshot for the background writer; returns the path the
-        snapshot WILL have. A queued-but-unwritten older snapshot is
-        replaced (latest wins)."""
-        with self._lock:
-            self._pending = (tree, step)
-            if not self._worker_active:
-                self._worker_active = True
-                self._worker = threading.Thread(target=self._drain,
-                                                daemon=True)
-                self._worker.start()
-        return os.path.join(self.directory, f"ckpt-{step}.npz")
-
-    def _drain(self) -> None:
-        while True:
-            with self._lock:
-                item = self._pending
-                self._pending = None
-                if item is None:
-                    # the take-work / deactivate decision is atomic, so a
-                    # save_async racing this exit either sees active=True
-                    # (we will loop again) or starts a fresh worker
-                    self._worker_active = False
-                    return
-            tree, step = item
-            try:
-                self.save(tree, step)
-            except Exception as e:       # pragma: no cover - diagnostics
-                print(f"async checkpoint save failed at step {step}: {e}")
-
-    def wait(self) -> None:
-        """Block until all queued async saves have been written."""
-        while True:
-            with self._lock:
-                worker = self._worker
-            if worker is None or not worker.is_alive():
-                return
-            worker.join(timeout=1.0)
 
     def _read_index(self) -> dict:
         try:

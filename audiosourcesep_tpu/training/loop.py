@@ -35,6 +35,13 @@ class LoopConfig:
     issues_ckpt_dir: str = "./ckpts_issues"
     max_to_keep: int = 5
     output_dir: str = "."
+    # best-val snapshots are taken as cheap DEVICE-side copies on every
+    # improvement, but written to disk at most this often (plus once at
+    # the end). A full train-state write is a large device->host transfer
+    # (~1 GB for the 67M-param NCSN: measured ~50 s and a 10x epoch
+    # slowdown on the remote-tunnel TPU when every val improved). 0
+    # restores the reference's write-every-improvement behavior.
+    ckpt_min_interval_s: float = 600.0
 
 
 @dataclass
@@ -75,6 +82,9 @@ def run_training(state: Any,
 
     count_step = int(np.asarray(state["step"]))
     min_val_loss = np.inf
+    best_state = None
+    best_step = written_best_step = -1
+    last_ckpt_write = -np.inf
     prev_history_avg = None
     is_nan_loss = False
     history = []
@@ -113,7 +123,7 @@ def run_training(state: Any,
                         > config.loss_jump_threshold):
                     print("Huge gap in the loss")
                     if is_main:
-                        path = manager_issues.save_async(state, count_step)
+                        path = manager_issues.save(state, count_step)
                         print(f"Model weights saved at {path}")
                 prev_history_avg = curr_avg
         epoch_losses.extend(float(jax.device_get(l)) for l in window_losses)
@@ -139,11 +149,16 @@ def run_training(state: Any,
             if val_loss < min_val_loss:
                 min_val_loss = val_loss
                 state["step"] = jnp.asarray(count_step)
-                if is_main:
-                    # async with latest-wins: a ~1 GB state save must not
-                    # stall the step loop (measured 10x epoch slowdown when
-                    # every val improved)
-                    save_path = manager.save_async(state, count_step)
+                # device-side copy (HBM->HBM, ~ms): the next train step
+                # DONATES the current state's buffers, so a by-reference
+                # snapshot would be reading deleted arrays
+                best_state = jax.tree_util.tree_map(jnp.copy, state)
+                best_step = count_step
+                if is_main and (time.time() - last_ckpt_write
+                                >= config.ckpt_min_interval_s):
+                    save_path = manager.save(best_state, best_step)
+                    written_best_step = best_step
+                    last_ckpt_write = time.time()
                     print(f"Model Saved at {save_path}")
 
         if (sample_fn is not None and config.sample_every_epochs
@@ -154,7 +169,9 @@ def run_training(state: Any,
 
     state["step"] = jnp.asarray(count_step)
     if is_main:
-        manager.wait()               # drain queued best-val snapshots
+        if best_state is not None and written_best_step != best_step:
+            path = manager.save(best_state, best_step)
+            print(f"Model Saved at {path}")
         save_path = manager.save(state, count_step)
         print(f"Model Saved at {save_path}")
     return LoopResult(state=state, training_time=time.time() - t0,

@@ -57,22 +57,6 @@ class TestCheckpoint:
         assert step == 3
         np.testing.assert_allclose(np.asarray(out["w"]), 3.0)
 
-    def test_async_save_latest_wins(self, tmp_path):
-        """save_async must persist the newest snapshot (older queued ones
-        may be dropped) and wait() must block until it is on disk."""
-        mgr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=10)
-        for s in range(8):
-            mgr.save_async({"w": jnp.full((4,), float(s))}, s)
-        mgr.wait()
-        out, step = mgr.restore_latest({"w": jnp.zeros(4)})
-        assert step == 7
-        np.testing.assert_allclose(np.asarray(out["w"]), 7.0)
-        # a second wave after the worker has exited must restart it
-        mgr.save_async({"w": jnp.full((4,), 9.0)}, 9)
-        mgr.wait()
-        out, step = mgr.restore_latest({"w": jnp.zeros(4)})
-        assert step == 9
-
 
 class TestFlowTraining:
     def test_loss_decreases(self):
@@ -165,6 +149,17 @@ class TestLoopAndChain:
         assert result.save_path and os.path.exists(result.save_path)
         assert not result.aborted_nan
         assert len(result.history) == 2
+        # the best-val snapshot must be durable even though intermediate
+        # writes are rate-limited (pending best is flushed at the end),
+        # and its buffers must have survived the donating train steps
+        from audiosourcesep_tpu.training import CheckpointManager as _CM
+        ckpts = [f for f in os.listdir(tmp_path / "ckpts")
+                 if f.endswith(".npz")]
+        assert len(ckpts) >= 2  # best-val snapshot + final state
+        restored, rstep = _CM(str(tmp_path / "ckpts")).restore_latest(state)
+        assert rstep == int(np.asarray(result.state["step"]))
+        for leaf in jax.tree_util.tree_leaves(restored):
+            assert np.isfinite(np.asarray(leaf)).all()
 
     def test_noisy_glow_chain_layout(self, tmp_path):
         model = toy_flow()
