@@ -81,8 +81,15 @@ def resolve_dataset(args) -> dict:
     data_shape, data_type, minval, maxval.
     """
     if args.dataset in ("mnist", "cifar10"):
+        # multi-host: shard like the melspec branch below — each process
+        # iterates a distinct slice at the local batch size; without this
+        # every host would load the full set with the same shuffle seed and
+        # put_global_batch would assemble batches of duplicated samples
+        import jax
+        n_proc, proc_id = jax.process_count(), jax.process_index()
         ds_train, ds_test, minibatch = load_toydata(
-            args.dataset, args.batch_size)
+            args.dataset, max(args.batch_size // n_proc, 1),
+            num_hosts=n_proc, host_id=proc_id)
         shape = tuple(minibatch.shape[1:])
         return dict(ds_train=ds_train, ds_test=ds_test, minibatch=minibatch,
                     n_train=ds_train.n_examples, n_test=ds_test.n_examples,

@@ -71,7 +71,13 @@ class ArrayDataset:
                  num_hosts: int = 1, host_id: int = 0,
                  drop_remainder: bool = True):
         if num_hosts > 1:
-            data = data[host_id::num_hosts]
+            # truncate every host's shard to the global minimum so all
+            # processes run the SAME number of batches per epoch — shards
+            # differing by one example can give hosts different batch
+            # counts (len(local)//bs), and then one host enters the SPMD
+            # step's collective while its peers have finished the epoch:
+            # a distributed deadlock
+            data = data[host_id::num_hosts][:len(data) // num_hosts]
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -153,7 +159,8 @@ def load_melspec_ds(train_dirpath: str, test_dirpath: str,
 # ---------------------------------------------------------------------------
 
 def load_toydata(dataset: str = "mnist", batch_size: int = 256,
-                 seed: int = 0, data_dir: Optional[str] = None):
+                 seed: int = 0, data_dir: Optional[str] = None,
+                 num_hosts: int = 1, host_id: int = 0):
     """MNIST (zero-padded 28->32) or CIFAR-10 as float arrays in [0, 256).
 
     Tries the Keras dataset cache (no network in this environment; a
@@ -192,9 +199,17 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
 
     x_train = x_train.astype(np.float32)
     x_test = x_test.astype(np.float32)
-    ds_train = ArrayDataset(x_train, batch_size, True, seed)
-    ds_test = ArrayDataset(x_test, 5000, False, seed, drop_remainder=False)
-    minibatch = next(iter(ds_train))
+    ds_train = ArrayDataset(x_train, batch_size, True, seed,
+                            num_hosts, host_id)
+    # multi-host: remainder batches could give hosts different batch
+    # counts -> collective deadlock, so only there the remainder drops
+    ds_test = ArrayDataset(x_test, 5000, False, seed, num_hosts, host_id,
+                           drop_remainder=num_hosts > 1)
+    if num_hosts > 1:
+        # data-dependent init must see the SAME minibatch on every host
+        minibatch = x_train[:max(batch_size, 1)]
+    else:
+        minibatch = next(iter(ds_train))
     return ds_train, ds_test, minibatch
 
 

@@ -16,9 +16,9 @@ _EPS = np.finfo(np.float64).eps
 _NFFT = 2048
 
 
-def _stft_all(x: np.ndarray):
+def _stft_all(x: np.ndarray, nfft: int = _NFFT):
     """x: [nsampl, nchan] -> complex [nchan, F, T]."""
-    return _stft(x.T, nperseg=_NFFT)[-1]
+    return _stft(x.T, nperseg=nfft)[-1]
 
 
 def _istft_trim(X: np.ndarray, n: int) -> np.ndarray:
@@ -27,16 +27,16 @@ def _istft_trim(X: np.ndarray, n: int) -> np.ndarray:
 
 
 def IBM(mixture: np.ndarray, sources: np.ndarray, alpha: float = 1,
-        theta: float = 0.5) -> np.ndarray:
+        theta: float = 0.5, nfft: int = _NFFT) -> np.ndarray:
     """Ideal binary mask (oracle_systems.py:13-73).
 
     mixture: [nsampl, nchan]; sources: [nsrc, nsampl, nchan].
     """
     N = mixture.shape[0]
-    X = _stft_all(mixture)
+    X = _stft_all(mixture, nfft)
     estimates = np.zeros_like(sources)
     for i, source in enumerate(sources):
-        Yj = _stft_all(source)
+        Yj = _stft_all(source, nfft)
         mask = (np.abs(Yj) ** alpha
                 / (_EPS + np.abs(X) ** alpha) >= theta).astype(X.real.dtype)
         estimates[i] = _istft_trim(X * mask, N)
@@ -44,11 +44,12 @@ def IBM(mixture: np.ndarray, sources: np.ndarray, alpha: float = 1,
 
 
 def IRM(mixture: np.ndarray, sources: np.ndarray,
-        alpha: float = 2) -> np.ndarray:
+        alpha: float = 2, nfft: int = _NFFT) -> np.ndarray:
     """Ideal ratio (soft) mask (oracle_systems.py:76-137)."""
     N = mixture.shape[0]
-    X = _stft_all(mixture)
-    specs = np.stack([np.abs(_stft_all(s)) ** alpha for s in sources])
+    X = _stft_all(mixture, nfft)
+    specs = np.stack([np.abs(_stft_all(s, nfft)) ** alpha
+                      for s in sources])
     model = _EPS + specs.sum(axis=0)
     estimates = np.zeros_like(sources)
     for i in range(len(sources)):
@@ -68,17 +69,18 @@ def _invert2x2(M: np.ndarray, eps: float) -> np.ndarray:
     return inv / det[..., None, None]
 
 
-def MWF(mixture: np.ndarray, sources: np.ndarray) -> np.ndarray:
+def MWF(mixture: np.ndarray, sources: np.ndarray,
+        nfft: int = _NFFT) -> np.ndarray:
     """Multichannel Wiener filter with time-invariant spatial covariances
     (oracle_systems.py:153-261). Requires nchan == 2 (explicit 2x2
     inverses, as in the reference)."""
     N = mixture.shape[0]
-    X = _stft_all(mixture)                   # [I, F, T]
+    X = _stft_all(mixture, nfft)             # [I, F, T]
     I = X.shape[0]
 
     P, R, Rjj_all = [], [], []
     for source in sources:
-        Yj = _stft_all(source)
+        Yj = _stft_all(source, nfft)
         # observed covariance [F, T, I, I]
         Rjj = np.einsum("aft,bft->ftab", Yj, np.conj(Yj))
         Pj = np.mean(np.abs(Yj) ** 2, axis=0)            # [F, T]

@@ -37,9 +37,12 @@ def _norm2dplus(x, scale, alpha, bias, eps_in=1e-3, eps_means=1e-5):
     xf = x.astype(jnp.float32)
     s1 = jnp.mean(xf, axis=(1, 2), keepdims=True)             # [N,1,1,C]
     s2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
-    var = s2 - s1 * s1
+    # one-pass E[x^2]-E[x]^2 can go slightly NEGATIVE under f32
+    # catastrophic cancellation (large means, small spread) -> NaN out of
+    # rsqrt; clamp to 0 (free in the fused epilogue)
+    var = jnp.maximum(s2 - s1 * s1, 0.0)
     m = jnp.mean(s1, axis=-1, keepdims=True)
-    v = jnp.mean(s1 * s1, axis=-1, keepdims=True) - m * m
+    v = jnp.maximum(jnp.mean(s1 * s1, axis=-1, keepdims=True) - m * m, 0.0)
     means_n = (s1 - m) * jax.lax.rsqrt(v + eps_means)
     a = scale[:, None, None, :] * jax.lax.rsqrt(var + eps_in)
     b = alpha[:, None, None, :] * means_n + bias[:, None, None, :] - a * s1

@@ -68,8 +68,14 @@ def put_global_batch(batch: Any, mesh: Optional[Mesh],
     if mesh is None:
         return jnp.asarray(batch)
     if jax.process_count() == 1:
-        return jax.device_put(jnp.asarray(batch),
-                              batch_sharding(mesh, batch_axis))
+        arr = jnp.asarray(batch)
+        # a partial final eval batch (drop_remainder=False) need not divide
+        # the mesh: device_put with a batch-sharded NamedSharding raises on
+        # indivisible axes, so fall back to a replicated put — correctness
+        # over speed for the one remainder batch per epoch
+        if arr.shape[batch_axis] % mesh.devices.size != 0:
+            return jax.device_put(arr, replicated(mesh))
+        return jax.device_put(arr, batch_sharding(mesh, batch_axis))
     from jax.experimental import multihost_utils
 
     spec = [None] * (batch_axis + 1)

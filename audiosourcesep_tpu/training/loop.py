@@ -128,8 +128,11 @@ def run_training(state: Any,
                 prev_history_avg = curr_avg
         epoch_losses.extend(float(jax.device_get(l)) for l in window_losses)
 
-        run_val = (config.n_epochs < 100
-                   or epoch % max(config.val_every_epochs, 1) == 0)
+        # respect val_every_epochs regardless of run length (reference
+        # cadence: every val_every epochs, /root/reference/train_ncsn.py:130);
+        # always validate the final epoch so short runs still select a best
+        run_val = (epoch % max(config.val_every_epochs, 1) == 0
+                   or epoch == config.n_epochs)
         if run_val and not is_nan_loss:
             val_losses = []
             for batch in ds_test:

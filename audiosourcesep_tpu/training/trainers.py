@@ -113,8 +113,11 @@ def _jit_with_mesh(step, eval_loss, mesh):
     jstep = jax.jit(step, donate_argnums=0,
                     in_shardings=(repl, data, repl),
                     out_shardings=(repl, repl))
-    jeval = jax.jit(eval_loss, in_shardings=(repl, data, repl),
-                    out_shardings=repl)
+    # eval infers the batch sharding from the committed input: the final
+    # partial eval batch (drop_remainder=False) may not divide the mesh,
+    # in which case put_global_batch replicates it and forcing a
+    # batch-sharded in_sharding here would raise
+    jeval = jax.jit(eval_loss, out_shardings=repl)
     return jstep, jeval
 
 

@@ -191,6 +191,20 @@ class TestArrayDataset:
         np.testing.assert_array_equal(np.sort(np.concatenate(
             [s0.data, s1.data])), data)
 
+    def test_host_shards_truncated_to_equal_size(self):
+        # indivisible split (17 examples, 2 hosts): shards differing by one
+        # example can give hosts different BATCH counts -> one host enters
+        # the SPMD collective alone (distributed deadlock). Every host must
+        # therefore see exactly n // num_hosts examples and the same
+        # number of batches.
+        data = np.arange(17)
+        shards = [ArrayDataset(data, 4, False, num_hosts=2, host_id=h)
+                  for h in (0, 1)]
+        assert [s.n_examples for s in shards] == [8, 8]
+        assert len(shards[0]) == len(shards[1]) == 2
+        # shards stay disjoint
+        assert not set(shards[0].data) & set(shards[1].data)
+
 
 class TestOverlappingWindows:
     def test_load_wav_hop(self, tmp_path):

@@ -76,8 +76,11 @@ def test_two_process_training(tiny_melspec_ds, tmp_path):
         with open(os.path.join(out_dir, "out.log")) as f:
             return [l.strip() for l in f if l.startswith("Epoch ")]
 
+    # train_ncsn validates every 10 epochs (reference cadence,
+    # /root/reference/train_ncsn.py:130) plus the final epoch — a 2-epoch
+    # run therefore logs exactly ONE epoch line (epoch 2)
     lines0, lines1 = epoch_lines(outs[0]), epoch_lines(outs[1])
-    assert len(lines0) == 2 and lines0 == lines1, (lines0, lines1)
+    assert len(lines0) == 1 and lines0 == lines1, (lines0, lines1)
     # losses must be real numbers (the psum'd global loss, not nan)
     assert "nan" not in lines0[0].lower()
 

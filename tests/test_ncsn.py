@@ -75,6 +75,26 @@ class TestRefineNet:
         assert out.shape == (1, 96, 64, 1)
 
 
+class TestInstanceNormPlus:
+    def test_one_pass_variance_no_nan_on_large_means(self):
+        # one-pass E[x^2]-E[x]^2 cancels catastrophically when means are
+        # large relative to spread; unclamped it can go negative -> NaN
+        # from rsqrt (advisor round-2 low finding)
+        from audiosourcesep_tpu.models.ncsn.layers import _norm2dplus
+
+        # per-channel constants with large magnitude: within-instance
+        # variance ~0 with heavy cancellation, channel means far apart
+        x = jnp.broadcast_to(
+            jnp.asarray([1e4, -1e4, 3e4, 1.0])[None, None, None, :],
+            (2, 8, 8, 4)) + 1e-2 * jax.random.normal(
+                jax.random.PRNGKey(0), (2, 8, 8, 4))
+        scale = jnp.ones((2, 4))
+        alpha = jnp.ones((2, 4))
+        bias = jnp.zeros((2, 4))
+        out = _norm2dplus(x, scale, alpha, bias)
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestDSMLoss:
     def _model(self):
         m = RefineNetDilated((16, 16, 1), 8, num_classes=4)

@@ -161,6 +161,46 @@ class TestLoopAndChain:
         for leaf in jax.tree_util.tree_leaves(restored):
             assert np.isfinite(np.asarray(leaf)).all()
 
+    def test_val_cadence_respects_val_every(self, tmp_path):
+        # reference validates every `val_every` epochs regardless of run
+        # length (/root/reference/train_ncsn.py:130): n_epochs=20 with
+        # val_every=10 must validate exactly twice (epochs 10 and 20)
+        model = toy_flow()
+        X = jax.random.normal(jax.random.PRNGKey(40), (8, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(41), X)
+        opt = setup_optimizer("adam", 1e-3)
+        state = init_train_state(params, opt)
+        step, eval_loss = make_flow_train_step(model, opt)
+        ds_train = ArrayDataset(np.asarray(X), 8)
+        ds_test = ArrayDataset(np.asarray(X), 8)
+        cfg = LoopConfig(n_epochs=20, batch_size=8, val_every_epochs=10,
+                         output_dir=str(tmp_path))
+        result = run_training(state, step, eval_loss, ds_train, ds_test,
+                              cfg, jax.random.PRNGKey(42))
+        assert [h["epoch"] for h in result.history] == [10, 20]
+
+    def test_eval_remainder_batch_on_mesh(self, tmp_path):
+        # a partial final eval batch (drop_remainder=False) that does not
+        # divide the 8-device mesh must not crash the loop: the put falls
+        # back to a replicated transfer (advisor round-2 high finding)
+        model = toy_flow()
+        X = jax.random.normal(jax.random.PRNGKey(43), (16, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(44), X)
+        opt = setup_optimizer("adam", 1e-3)
+        mesh = make_mesh()
+        from audiosourcesep_tpu.parallel import replicate
+        state = replicate(init_train_state(params, opt), mesh)
+        step, eval_loss = make_flow_train_step(model, opt, mesh=mesh)
+        ds_train = ArrayDataset(np.asarray(X), 8)
+        # 13 test examples, batch 8 -> final batch of 5 (5 % 8 != 0)
+        ds_test = ArrayDataset(np.asarray(X[:13]), 8, shuffle=False,
+                               drop_remainder=False)
+        cfg = LoopConfig(n_epochs=1, batch_size=8, output_dir=str(tmp_path))
+        result = run_training(state, step, eval_loss, ds_train, ds_test,
+                              cfg, jax.random.PRNGKey(45), mesh=mesh)
+        assert not result.aborted_nan
+        assert np.isfinite(result.history[0]["val"])
+
     def test_noisy_glow_chain_layout(self, tmp_path):
         model = toy_flow()
         X = jax.random.normal(jax.random.PRNGKey(15), (16, 4, 4, 1))

@@ -14,7 +14,8 @@ import numpy as np
 
 from audiosourcesep_tpu import cli
 from audiosourcesep_tpu.models import build_glow
-from audiosourcesep_tpu.parallel import make_mesh_for_batch, replicate
+from audiosourcesep_tpu.parallel import (make_mesh_for_batch,
+                                         put_global_batch, replicate)
 from audiosourcesep_tpu.training import (CheckpointManager, LoopConfig,
                                          image_grid, init_train_state,
                                          make_flow_train_step, plot_to_image,
@@ -92,9 +93,12 @@ def main(args):
     rng_eval = jax.random.PRNGKey(123)
     for batch in data["ds_test"]:
         rng_eval, k = jax.random.split(rng_eval)
-        bpds.append(float(bpd_fn(result.state["params"],
-                                 jnp.asarray(batch, jnp.float32), k)))
-    if bpds:
+        # route through put_global_batch: under --multihost the params are
+        # global (cross-process) arrays — a raw process-local batch inside
+        # the same jit errors/hangs before the end-of-training barrier
+        batch_dev = put_global_batch(np.asarray(batch, np.float32), mesh)
+        bpds.append(float(bpd_fn(result.state["params"], batch_dev, k)))
+    if bpds and jax.process_index() == 0:
         print(f"Validation bits/dim: {float(np.mean(bpds)):.4f}")
     if getattr(args, "multihost", False):
         # orderly multi-process teardown: a process exiting while peers are
