@@ -116,6 +116,34 @@ class TestPipeline:
         inv = np.load(os.path.join(inv_dir, "inverse_spectrograms.npz"))
         assert np.isfinite(inv["x1_audio"]).all()
 
+        # SDR assertion (not just finiteness): the ground-truth inversion
+        # path — wiener filtering the mixture STFT with the true source
+        # PSDs — must actually separate the frequency-disjoint tones.
+        # Measured on this synthetic song: SDR ~6.0 dB per source (bounded
+        # by mel-grid/NNLS loss), SIR 40+ dB; a broken STFT/mel/NNLS/
+        # wiener chain lands near or below 0 dB.
+        from audiosourcesep_tpu.data import read_wav
+        from audiosourcesep_tpu.evaluation import bss_eval
+        g1, _ = read_wav(os.path.join(inv_dir, "gt1.wav"))
+        g2, _ = read_wav(os.path.join(inv_dir, "gt2.wav"))
+        raw1, _ = read_wav(os.path.join(out, "ground_truth1.wav"))
+        raw2, _ = read_wav(os.path.join(out, "ground_truth2.wav"))
+        # raw windows are 32640 samples; inverted windows are
+        # hop*(frames-1) = 32256 — align per window before scoring
+        W_RAW, W_INV, n_win = 32640, 32256, 2
+        refs, ests = [], []
+        for src_raw, src_inv in ((raw1, g1), (raw2, g2)):
+            refs.append(np.concatenate(
+                [src_raw[k * W_RAW:k * W_RAW + W_INV]
+                 for k in range(n_win)]))
+            ests.append(src_inv[:n_win * W_INV])
+        sdr, _, sir, _, _ = bss_eval(
+            np.stack(refs)[:, :, None], np.stack(ests)[:, :, None],
+            window=np.inf, hop=np.inf, compute_permutation=False)
+        for i in range(2):
+            assert float(np.nanmean(sdr[i])) > 4.0, (i, sdr)
+            assert float(np.nanmean(sir[i])) > 20.0, (i, sir)
+
     def test_technique2and4(self):
         r = run_cli("technique2and4_ncsnv2.py", "--D", "96,64,1",
                     "--T", "5", "--sigma1", "55.", "--sigmaL", "0.01")
