@@ -24,9 +24,15 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+DEVICE = "cpu"
+
+
 def run(script, *args, env_extra=None):
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    if DEVICE == "cpu":
+        env.setdefault("JAX_PLATFORMS", "cpu")
+    else:
+        env.pop("JAX_PLATFORMS", None)   # the real accelerator
     env.update(env_extra or {})
     r = subprocess.run([sys.executable, os.path.join(REPO, script), *args],
                       cwd=REPO, env=env, capture_output=True, text=True)
@@ -55,7 +61,12 @@ def main():
     ap.add_argument("--n_filters", type=int, default=64)
     ap.add_argument("--n_epochs", type=int, default=60)
     ap.add_argument("--T", type=int, default=100)
+    ap.add_argument("--device", choices=["cpu", "native"], default="cpu",
+                    help="cpu: force JAX_PLATFORMS=cpu in the child CLIs; "
+                         "native: let them use the real accelerator")
     args = ap.parse_args()
+    global DEVICE
+    DEVICE = args.device
 
     w = os.path.abspath(args.workdir)
     os.makedirs(w, exist_ok=True)

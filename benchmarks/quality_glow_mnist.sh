@@ -1,0 +1,36 @@
+#!/bin/bash
+# Glow MNIST bits/dim parity runner (thesis Table 3.1: Glow 1.05 bits/dim,
+# matching the original Glow paper; RealNVP 1.06).
+#
+# Runs the real CLI at the reference's MNIST scale (train_glow.py defaults
+# mirror /root/reference/train_glow.py:349-399: L=3, K=32, 512 filters,
+# adamax, logit preprocessing via ImgPreprocessing) against whatever
+# mnist.npz cache is present (ASR_MNIST_NPZ or ~/.keras/datasets/mnist.npz
+# -- see scripts/build_mnist_cache.py). With the sklearn-digits stand-in
+# the number is NOT comparable to 1.05; drop in a real mnist.npz and only
+# the data swap remains.
+#
+# Usage: bash benchmarks/quality_glow_mnist.sh /path/to/workdir [n_epochs]
+set -e
+cd "$(dirname "$0")/.."
+R=${1:-/tmp/quality_glow_mnist}
+EPOCHS=${2:-50}
+mkdir -p "$R"
+
+python train_glow.py --dataset mnist --output $R/glow_mnist_3_32_512 \
+    --debug --L 3 --K 32 --n_filters 512 --learntop --use_logit \
+    --optimizer adamax --learning_rate 0.001 \
+    --n_epochs $EPOCHS --batch_size 256
+
+echo "--- bits/dim (thesis Table 3.1 target: 1.05) ---"
+grep -E "bits" $R/glow_mnist_3_32_512/out.log | tail -3
+python - <<'EOF'
+import numpy as np, os
+cache = os.environ.get("ASR_MNIST_NPZ",
+                       os.path.expanduser("~/.keras/datasets/mnist.npz"))
+try:
+    with np.load(cache) as d:
+        print("dataset provenance:", d.get("provenance", "mnist-unverified"))
+except Exception as e:
+    print("no mnist cache:", e)
+EOF

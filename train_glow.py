@@ -99,7 +99,19 @@ def main(args):
         batch_dev = put_global_batch(np.asarray(batch, np.float32), mesh)
         bpds.append(float(bpd_fn(result.state["params"], batch_dev, k)))
     if bpds and jax.process_index() == 0:
-        print(f"Validation bits/dim: {float(np.mean(bpds)):.4f}")
+        bits_raw = float(np.mean(bpds))
+        print(f"Validation bits/dim: {bits_raw:.4f}")
+        if data["data_type"] == "melspec":
+            # Thesis Table 3.4 convention (reference flow_builder.py:85-90
+            # applies SpecPreprocessing before the flow): bits of the
+            # [0,1]-RESCALED variable y = (x - minval)/span. Change of
+            # variables p_x(x) = p_y(y)/span, so per dim
+            # bits_y = bits_x - log2(span); span = maxval - minval dB.
+            span = float(data["maxval"]) - float(data["minval"])
+            bits_rescaled = bits_raw - float(np.log2(span))
+            print(f"Validation bits/px ([0,1]-rescale convention, "
+                  f"span={span:g} dB, = raw - log2(span)): "
+                  f"{bits_rescaled:.4f}")
     if getattr(args, "multihost", False):
         # orderly multi-process teardown: a process exiting while peers are
         # still running trips the coordination-service heartbeat
