@@ -50,15 +50,20 @@ T = 100
 
 
 def main():
+    t_start = time.time()
     sigmas = get_sigmas(1.0, 0.01, NUM_CLASSES, "logarithmic")
     # bf16 on the MXU (norm stats stay f32): the TPU-native compute dtype
     model = get_score_model("v1", DATA_SHAPE, N_FILTERS, NUM_CLASSES,
                             compute_dtype=jnp.bfloat16)
 
     k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
+    jax.block_until_ready(k0)
+    t_backend = time.time() - t_start   # device init + first tiny compile
     p1 = model.init_params(k0)
     p2 = model.init_params(k1)
     stacked = stack_pytrees(p1, p2)
+    jax.block_until_ready(stacked)
+    t_params = time.time() - t_start - t_backend
 
     mixed = jax.random.normal(k2, (N_FRAMES, *DATA_SHAPE)) * 0.2 + 0.5
     x_init = jax.random.uniform(k3, (2, N_FRAMES, *DATA_SHAPE))
@@ -113,6 +118,10 @@ def main():
     print(f"# devices={jax.devices()}  first_call={compile_and_first:.1f}s  "
           f"steady_state={elapsed:.3f}s  "
           f"sustained={total_flops / elapsed / 1e12:.1f} TFLOP/s",
+          file=sys.stderr)
+    print(f"# cold-start phases: backend+first-compile={t_backend:.1f}s  "
+          f"param-init={t_params:.1f}s  "
+          f"first-run-minus-steady={compile_and_first - elapsed:.1f}s",
           file=sys.stderr)
 
 
