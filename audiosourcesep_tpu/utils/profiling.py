@@ -10,6 +10,20 @@ from typing import Dict, Optional
 import jax
 
 
+def fence(tree) -> None:
+    """Reliable completion fence for device computations.
+
+    ``jax.block_until_ready`` can return before the execution has actually
+    finished on the remote TPU backend used here (measured: bur-only
+    timings under-read a 3.5 ms conv as ~0.001 ms). Fetching one element
+    of each output buffer to the host is the only dependable fence — the
+    fetch cannot complete until the producing program has.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            jax.device_get(leaf.ravel()[:1])
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]):
     """Capture a jax.profiler trace (viewable in TensorBoard/XProf) when
@@ -37,7 +51,7 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                fence(block_on)
             self.totals[name] = (self.totals.get(name, 0.0)
                                  + time.time() - t0)
 

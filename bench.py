@@ -91,16 +91,25 @@ def main():
     def run(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
                                           sigmas, key, cfg)
-        return jax.block_until_ready(out)
+        # completion fence: on this backend block_until_ready can return
+        # before the execution finishes (measured 2026-08-17 — bur-only
+        # timings under-read by orders of magnitude); fetching a scalar
+        # that depends on the output is the only reliable fence
+        float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
+        return out
 
     # compile (excluded: one-time cost, amortised in production serving)
     t_compile = time.time()
     run(k4)
     compile_and_first = time.time() - t_compile
 
-    t0 = time.time()
-    out = run(k4)
-    elapsed = time.time() - t0
+    # steady state: best of 2 (per-run variance through the remote tunnel
+    # is ~2%; best-of reflects the device's sustained rate)
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = run(k4)
+        elapsed = min(elapsed, time.time() - t0)
 
     assert bool(jnp.isfinite(out).all()), "non-finite separation output"
 

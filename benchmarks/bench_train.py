@@ -33,12 +33,12 @@ from audiosourcesep_tpu.training import (init_train_state,
 def timeit(step, state, batch, n=20):
     rng = jax.random.PRNGKey(1)
     state, loss = step(state, batch, rng)      # compile
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))                # host fetch = reliable fence
     t0 = time.time()
     for i in range(n):
         rng, k = jax.random.split(rng)
         state, loss = step(state, batch, k)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
     return (time.time() - t0) / n
 
 

@@ -53,11 +53,11 @@ def scan_time(fn, params, x, iters=10, reps=2, feedback=None):
             return feedback(y, carry), None
         out, _ = jax.lax.scan(body, x0, None, length=iters)
         return out
-    jax.block_until_ready(loop(params, x))
+    jax.device_get(loop(params, x).ravel()[:1])   # host fetch = fence
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(params, x))
+        jax.device_get(loop(params, x).ravel()[:1])
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

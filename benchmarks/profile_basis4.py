@@ -40,7 +40,15 @@ FLOPS_1FWD = 7.728e12
 
 def scan_time_max(fn, params, x, iters=10, reps=3):
     """Time fn inside a scan; the carry folds in max(y) (not foldable into
-    the contraction) and only a scalar leaves the device."""
+    the contraction) and only a scalar leaves the device.
+
+    The timed region fetches that scalar with ``device_get`` — on this
+    remote backend ``block_until_ready`` can return before the execution
+    has actually finished (measured 2026-08-17: bur-only timings read
+    ~0.001 ms/iter for a conv that costs 3.5 ms; a device_get of the
+    4-byte result restores the true number). Only a host fetch is a
+    reliable completion fence here.
+    """
 
     @jax.jit
     def loop(p, x0):
@@ -51,11 +59,11 @@ def scan_time_max(fn, params, x, iters=10, reps=3):
         out, _ = jax.lax.scan(body, x0, None, length=iters)
         return jnp.sum(out)
 
-    jax.block_until_ready(loop(params, x))
+    float(jax.device_get(loop(params, x)))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(params, x))
+        float(jax.device_get(loop(params, x)))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

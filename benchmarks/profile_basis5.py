@@ -55,7 +55,8 @@ def main():
     def one_level(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
                                           sigmas[:1], key, cfg1)
-        return jax.block_until_ready(out)
+        jax.device_get(out.ravel()[:1])   # host fetch = fence
+        return out
 
     one_level(k4)   # compile
     best = float("inf")
@@ -73,7 +74,8 @@ def main():
     def full(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
                                           sigmas, key, cfgL)
-        return jax.block_until_ready(out)
+        jax.device_get(out.ravel()[:1])   # host fetch = fence
+        return out
 
     full(k4)
     best = float("inf")

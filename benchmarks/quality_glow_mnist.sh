@@ -11,15 +11,22 @@
 # the data swap remains.
 #
 # Usage: bash benchmarks/quality_glow_mnist.sh /path/to/workdir [n_epochs]
+#
+# Learning rate: the reference default (adamax 1e-3) explodes to inf loss
+# in ONE optimizer step on the digits stand-in (measured on-chip; the
+# first adam-family step is ~lr*sign(g) on every param of a 96-coupling
+# flow — the thesis's own loss-jump snapshots show the same fragility).
+# 1e-4 trains monotonically with the reference's alpha=1e-6 logit
+# convention intact, keeping bits/dim comparable.
 set -e
 cd "$(dirname "$0")/.."
 R=${1:-/tmp/quality_glow_mnist}
-EPOCHS=${2:-50}
+EPOCHS=${2:-300}
 mkdir -p "$R"
 
 python train_glow.py --dataset mnist --output $R/glow_mnist_3_32_512 \
     --debug --L 3 --K 32 --n_filters 512 --learntop --use_logit \
-    --optimizer adamax --learning_rate 0.001 \
+    --optimizer adamax --learning_rate 0.0001 \
     --n_epochs $EPOCHS --batch_size 256
 
 echo "--- bits/dim (thesis Table 3.1 target: 1.05) ---"

@@ -276,7 +276,10 @@ def main(args):
     x_final, traj = basis_separate_per_level(
         score_fn, stacked, mixed_dev, x_init, sigmas, k_sep, cfg,
         callback=progress)
-    x_final = jax.block_until_ready(x_final)
+    # completion fence before reading the clock: on this backend
+    # block_until_ready can return before execution finishes; fetching a
+    # scalar that depends on the output is the reliable fence
+    float(jax.device_get(jnp.sum(x_final.astype(jnp.float32))))
     x_final = x_final[:, :n_frames]
     if traj is not None:
         traj = traj[:, :, :n_frames]
