@@ -92,7 +92,8 @@ def resolve_dataset(args) -> dict:
             num_hosts=n_proc, host_id=proc_id)
         shape = tuple(minibatch.shape[1:])
         return dict(ds_train=ds_train, ds_test=ds_test, minibatch=minibatch,
-                    n_train=ds_train.n_examples, n_test=ds_test.n_examples,
+                    # GLOBAL counts, matching the melspec branch's contract
+                    n_train=ds_train.n_global, n_test=ds_test.n_global,
                     data_shape=shape, data_type="image",
                     minval=0.0, maxval=256.0)
 

@@ -70,6 +70,7 @@ class ArrayDataset:
                  shuffle: bool = True, seed: int = 0,
                  num_hosts: int = 1, host_id: int = 0,
                  drop_remainder: bool = True):
+        self.n_global = len(data)   # pre-shard count (all hosts)
         if num_hosts > 1:
             # truncate every host's shard to the global minimum so all
             # processes run the SAME number of batches per epoch — shards
@@ -202,8 +203,13 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
     ds_train = ArrayDataset(x_train, batch_size, True, seed,
                             num_hosts, host_id)
     # multi-host: remainder batches could give hosts different batch
-    # counts -> collective deadlock, so only there the remainder drops
-    ds_test = ArrayDataset(x_test, 5000, False, seed, num_hosts, host_id,
+    # counts -> collective deadlock, so only there the remainder drops.
+    # The eval batch is per-HOST and bounded by the shard size (a
+    # 5000-global batch would exceed a 2500-example shard and the
+    # dropped remainder would then leave zero eval batches)
+    eval_bs = max(min(5000, len(x_test)) // num_hosts, 1)
+    ds_test = ArrayDataset(x_test, eval_bs, False, seed,
+                           num_hosts, host_id,
                            drop_remainder=num_hosts > 1)
     if num_hosts > 1:
         # data-dependent init must see the SAME minibatch on every host

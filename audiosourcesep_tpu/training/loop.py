@@ -76,7 +76,10 @@ def run_training(state: Any,
     # losses, but only process 0 writes checkpoints
     is_main = jax.process_index() == 0
 
-    n_train = max(ds_train.n_examples, 1)
+    # TB step axis follows the reference's GLOBAL convention (global batch
+    # over global example count); per-host shards would advance the axis
+    # num_hosts-times too fast
+    n_train = max(getattr(ds_train, "n_global", ds_train.n_examples), 1)
     steps_per_epoch = max(len(ds_train), 1)
     log_every = max(steps_per_epoch // config.losses_per_epoch, 1)
 

@@ -169,6 +169,10 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
         def n_examples(self):
             return self.ds.n_examples
 
+        @property
+        def n_global(self):
+            return getattr(self.ds, "n_global", self.ds.n_examples)
+
         def __iter__(self):
             for batch in self.ds:
                 yield (batch + self.sigma * self._rng.randn(*batch.shape)

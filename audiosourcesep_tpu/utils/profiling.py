@@ -8,6 +8,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 def fence(tree) -> None:
@@ -21,7 +22,31 @@ def fence(tree) -> None:
     """
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ravel"):
-            jax.device_get(leaf.ravel()[:1])
+            el = leaf.ravel()[:1]
+            if jnp.issubdtype(el.dtype, jnp.complexfloating):
+                # complex device->host transfers are unsupported on this
+                # backend; fetching the real part fences just as well
+                el = el.real
+            jax.device_get(el)
+
+
+def enable_compilation_cache(path: str = "~/.cache/jax_comp") -> None:
+    """Point JAX's persistent compilation cache at ``path``.
+
+    The first XLA compile of the big separation program costs minutes
+    through the remote-compile backend; caching skips the client-side
+    compile in later processes (the remote executable load it cannot skip
+    is documented in CLAUDE.md). Shared by bench.py and the
+    benchmarks/profile_* scripts.
+    """
+    import os
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", p)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
 
 @contextlib.contextmanager

@@ -22,17 +22,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
+from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+
 # persistent compilation cache: the first XLA compile of the separation
 # program costs ~10 min through this backend; cache it across processes
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
-
-from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
+enable_compilation_cache()
 from audiosourcesep_tpu.parallel import (make_mesh, pad_to_multiple,
                                          replicate, shard_batch)
 from audiosourcesep_tpu.separation import (BasisConfig,
@@ -57,12 +52,12 @@ def main():
                             compute_dtype=jnp.bfloat16)
 
     k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
-    jax.block_until_ready(k0)
+    fence(k0)
     t_backend = time.time() - t_start   # device init + first tiny compile
     p1 = model.init_params(k0)
     p2 = model.init_params(k1)
     stacked = stack_pytrees(p1, p2)
-    jax.block_until_ready(stacked)
+    fence(stacked)
     t_params = time.time() - t_start - t_backend
 
     mixed = jax.random.normal(k2, (N_FRAMES, *DATA_SHAPE)) * 0.2 + 0.5
@@ -91,11 +86,7 @@ def main():
     def run(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
                                           sigmas, key, cfg)
-        # completion fence: on this backend block_until_ready can return
-        # before the execution finishes (measured 2026-08-17 — bur-only
-        # timings under-read by orders of magnitude); fetching a scalar
-        # that depends on the output is the only reliable fence
-        float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
+        fence(out)   # block_until_ready is unreliable here; see fence()
         return out
 
     # compile (excluded: one-time cost, amortised in production serving)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from audiosourcesep_tpu.models import build_glow
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
+from audiosourcesep_tpu.utils.profiling import fence
 from audiosourcesep_tpu.training import (init_train_state,
                                          make_flow_train_step,
                                          make_ncsn_train_step,
@@ -33,12 +34,12 @@ from audiosourcesep_tpu.training import (init_train_state,
 def timeit(step, state, batch, n=20):
     rng = jax.random.PRNGKey(1)
     state, loss = step(state, batch, rng)      # compile
-    float(jax.device_get(loss))                # host fetch = reliable fence
+    fence(loss)                                # host fetch = reliable fence
     t0 = time.time()
     for i in range(n):
         rng, k = jax.random.split(rng)
         state, loss = step(state, batch, k)
-    float(jax.device_get(loss))
+    fence(loss)
     return (time.time() - t0) / n
 
 

@@ -17,13 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+
+enable_compilation_cache()
 
 from audiosourcesep_tpu.models.ncsn import get_score_model
 from audiosourcesep_tpu.separation import ncsn_score_fn, stack_pytrees
@@ -53,11 +49,11 @@ def scan_time(fn, params, x, iters=10, reps=2, feedback=None):
             return feedback(y, carry), None
         out, _ = jax.lax.scan(body, x0, None, length=iters)
         return out
-    jax.device_get(loop(params, x).ravel()[:1])   # host fetch = fence
+    fence(loop(params, x))   # host fetch = reliable completion fence
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.device_get(loop(params, x).ravel()[:1])
+        fence(loop(params, x))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

@@ -16,13 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+
+enable_compilation_cache()
 
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
 from audiosourcesep_tpu.separation import (BasisConfig,
@@ -55,7 +51,7 @@ def main():
     def one_level(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
                                           sigmas[:1], key, cfg1)
-        jax.device_get(out.ravel()[:1])   # host fetch = fence
+        fence(out)   # host fetch = reliable completion fence
         return out
 
     one_level(k4)   # compile
@@ -74,7 +70,7 @@ def main():
     def full(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,
                                           sigmas, key, cfgL)
-        jax.device_get(out.ravel()[:1])   # host fetch = fence
+        fence(out)   # host fetch = reliable completion fence
         return out
 
     full(k4)

@@ -14,13 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+
+enable_compilation_cache()
 
 from benchmarks.profile_basis4 import scan_time_max
 

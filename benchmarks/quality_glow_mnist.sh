@@ -18,19 +18,21 @@
 # flow — the thesis's own loss-jump snapshots show the same fragility).
 # 1e-4 trains monotonically with the reference's alpha=1e-6 logit
 # convention intact, keeping bits/dim comparable.
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 R=${1:-/tmp/quality_glow_mnist}
 EPOCHS=${2:-300}
 mkdir -p "$R"
 
+# --debug keeps stdout on the terminal (no out.log redirect), so capture
+# it with tee — the bits/dim report below greps the captured log
 python train_glow.py --dataset mnist --output $R/glow_mnist_3_32_512 \
     --debug --L 3 --K 32 --n_filters 512 --learntop --use_logit \
     --optimizer adamax --learning_rate 0.0001 \
-    --n_epochs $EPOCHS --batch_size 256
+    --n_epochs $EPOCHS --batch_size 256 | tee "$R/train.log"
 
 echo "--- bits/dim (thesis Table 3.1 target: 1.05) ---"
-grep -E "bits" $R/glow_mnist_3_32_512/out.log | tail -3
+grep -E "bits" "$R/train.log" | tail -3
 python - <<'EOF'
 import numpy as np, os
 cache = os.environ.get("ASR_MNIST_NPZ",

@@ -30,6 +30,7 @@ from audiosourcesep_tpu.separation import (BasisConfig,
                                            glow_score_fn, ncsn_score_fn,
                                            postprocess, preprocess_mixture,
                                            stack_pytrees)
+from audiosourcesep_tpu.utils.profiling import fence
 from audiosourcesep_tpu.training import (CheckpointManager, restore_pytree,
                                          setup_tensorboard)
 
@@ -276,10 +277,9 @@ def main(args):
     x_final, traj = basis_separate_per_level(
         score_fn, stacked, mixed_dev, x_init, sigmas, k_sep, cfg,
         callback=progress)
-    # completion fence before reading the clock: on this backend
-    # block_until_ready can return before execution finishes; fetching a
-    # scalar that depends on the output is the reliable fence
-    float(jax.device_get(jnp.sum(x_final.astype(jnp.float32))))
+    # completion fence before reading the clock (block_until_ready can
+    # return early on this backend; see utils.profiling.fence)
+    fence(x_final)
     x_final = x_final[:, :n_frames]
     if traj is not None:
         traj = traj[:, :, :n_frames]

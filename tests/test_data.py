@@ -191,6 +191,17 @@ class TestArrayDataset:
         np.testing.assert_array_equal(np.sort(np.concatenate(
             [s0.data, s1.data])), data)
 
+    def test_n_global_is_preshard_count(self):
+        # TB step axes and epoch accounting follow the reference's GLOBAL
+        # convention; per-host shards must still report the global count
+        data = np.arange(17)
+        for h in (0, 1):
+            ds = ArrayDataset(data, 4, False, num_hosts=2, host_id=h)
+            assert ds.n_global == 17
+            assert ds.n_examples == 8
+        single = ArrayDataset(data, 4, False)
+        assert single.n_global == single.n_examples == 17
+
     def test_host_shards_truncated_to_equal_size(self):
         # indivisible split (17 examples, 2 hosts): shards differing by one
         # example can give hosts different BATCH counts -> one host enters

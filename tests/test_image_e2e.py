@@ -56,6 +56,15 @@ def test_load_toydata_shapes(mnist_cache, monkeypatch):
     assert minibatch.dtype == np.float32
     assert 0.0 <= minibatch.min() and minibatch.max() < 256.0
 
+    # multi-host: eval batch is per-host so small shards still yield
+    # batches, and the reported counts stay GLOBAL
+    tr2, te2, _ = load_toydata("mnist", batch_size=16,
+                               num_hosts=2, host_id=0)
+    assert te2.batch_size == min(5000, te2.n_global) // 2
+    assert len(te2) >= 1
+    assert tr2.n_global == ds_train.n_global
+    assert te2.n_global == ds_test.n_global
+
     mixed, gt1, gt2, mb = get_mixture_toydata("mnist", n_mixed=4)
     assert mixed.shape == (4, 32, 32, 1)
     np.testing.assert_allclose(np.asarray(mixed),

@@ -74,6 +74,16 @@ class TestProfiling:
             x = jnp.ones(3) + 1
         assert float(x[0]) == 2.0
 
+    def test_fence_handles_pytrees_and_complex(self):
+        # fence must accept any output pytree, including complex leaves
+        # (complex device->host transfers are unsupported on the TPU
+        # backend; fence fetches the real part instead)
+        from audiosourcesep_tpu.utils.profiling import fence
+        tree = {"a": jnp.ones((2, 3)),
+                "b": jnp.ones(4) + 1j * jnp.ones(4),
+                "c": 3.0}
+        fence(tree)   # must not raise
+
 
 class TestParallelHelpers:
     def test_pad_to_multiple(self):
