@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiosourcesep_tpu import cli
+from audiosourcesep_tpu import nn as nn_mod
 from audiosourcesep_tpu.data import get_mixture_toydata, get_song_extract, write_wav
 from audiosourcesep_tpu.models import build_glow
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
@@ -207,6 +208,11 @@ def main(args):
     else:
         compute_dtype = jnp.bfloat16 if args.compute_dtype == "bf16" \
             else None
+        if args.winograd:
+            # route eligible 3x3 convs through the fused Winograd kernel
+            # (2.25x fewer MXU FLOPs; no-op off-TPU). Set before the
+            # first trace — traces are cached.
+            nn_mod.set_winograd(True)
         model = get_score_model(args.version, args.data_shape,
                                 args.n_filters, int(args.num_classes),
                                 sigmas=sigmas,
@@ -359,6 +365,9 @@ if __name__ == "__main__":
     parser.add_argument("--compute_dtype", type=str, default="f32",
                         help="f32 (reference numerics) or bf16 (TPU fast "
                              "path: ~1.5x faster separation)")
+    parser.add_argument("--winograd", action="store_true",
+                        help="fused Winograd kernel for eligible 3x3 "
+                             "convs (TPU only; fastest with bf16)")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)
