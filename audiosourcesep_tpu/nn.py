@@ -80,15 +80,12 @@ def conv2d(params: dict, x: Array, stride: int = 1, dilation: int = 1,
            padding: str = "SAME") -> Array:
     kernel = params["kernel"]
     if _WINOGRAD and padding == "SAME" and jax.default_backend() == "tpu":
-        from .ops.winograd import (dilated_eligible,
-                                   dilated_winograd_conv2d,
-                                   winograd_conv2d, winograd_eligible)
-        y = None
+        # dilated convs are deliberately NOT routed: XLA's dilated conv
+        # lowering runs at 175-200 TF/s on the cascade's shapes and the
+        # phase-split path loses 2-3x (profile_winograd4)
+        from .ops.winograd import winograd_conv2d, winograd_eligible
         if winograd_eligible(x.shape, kernel.shape, stride, dilation):
             y = winograd_conv2d(x, kernel)
-        elif dilated_eligible(x.shape, kernel.shape, stride, dilation):
-            y = dilated_winograd_conv2d(x, kernel, dilation)
-        if y is not None:
             if "bias" in params:
                 y = y + params["bias"].astype(x.dtype)
             return y

@@ -1,13 +1,20 @@
 """Winograd F(2x2, 3x3) convolution with a fused Pallas TPU kernel.
 
 The separation hot loop is conv-bound (docs/DESIGN.md "Round-3
-decomposition"): ~84% of the score-network forward FLOPs are 3x3,
-stride-1, undilated convolutions (reference score_network.py:7-302 —
-every RCU/CRP/MSF/ResidualBlock conv), running at XLA's conv speed
-limit for this channel geometry.  Winograd F(2x2,3x3) computes the same
+decomposition"): ~84% of the score-network forward FLOPs are 3x3
+stride-1 convolutions (reference score_network.py:7-302 — every
+RCU/CRP/MSF/ResidualBlock conv).  Winograd F(2x2,3x3) computes the same
 convolution with 2.25x fewer MXU FLOPs by transforming 4x4 input tiles
 (stride 2) into a per-tile elementwise product in a 16-point transform
 domain, which batches into 16 channel-contraction matmuls:
+
+Measured verdict (profile_winograd4, slope timing, v5e): XLA's conv
+lowering runs at 88-100% of bf16 peak on the melspec separation model's
+conv classes, so this kernel only wins where XLA's conv underperforms —
+small-spatial 128-multiple-channel shapes (the 32x32@128 image path:
+1.67x) — and `winograd_eligible` restricts routing accordingly.  The
+general mechanism is kept (and tested) because it is the template for
+any future shape class where XLA's conv leaves room.
 
     Y = A^T [ (G g G^T) . (B^T d B) ] A      (per tile, summed over C_in)
 
@@ -93,15 +100,15 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _block_vmem_bytes(tr: int, tw: int, cin: int, cout: int) -> int:
-    """Rough VMEM bytes for one grid step: input slab (bf16) + U (bf16)
-    + 16 V transforms (bf16) + 8 P accumulators (f32) + double-buffered
-    output block (bf16)."""
-    w = 2 * tw
-    return ((2 * tr + 2) * (w + 2) * cin * 2
+    """Rough VMEM bytes for one grid step: phased input slab (bf16) + U
+    (bf16) + live V transforms (bf16) + 8 P accumulators (f32) +
+    double-buffered phased output block (bf16)."""
+    twp = -(-(tw + 1) // 8) * 8
+    return (4 * (tr + 1) * twp * cin * 2
             + 16 * cin * cout * 2
-            + 16 * tr * tw * cin * 2
+            + 8 * tr * tw * cin * 2
             + 8 * tr * tw * cout * 4
-            + 2 * 2 * tr * w * cout * 2)
+            + 2 * 4 * tr * tw * cout * 2)
 
 
 def _pick_tile_rows(th: int, tw: int, cin: int, cout: int):
@@ -118,33 +125,28 @@ def _pick_tile_rows(th: int, tw: int, cin: int, cout: int):
 
 def _wino_kernel(x_hbm, u_ref, out_ref, xs_ref, sem, *, tr: int, tw: int,
                  cin: int, cout: int):
-    """One grid step: rows [2*tr*r, 2*tr*r + 2*tr + 2) of padded image b."""
+    """One grid step: tile-rows [tr*r, tr*(r+1)) of phased image b.
+
+    The input arrives phase-split from XLA as
+    X[b, r, q, m, n, c] = xpad[b, 2 m + r, 2 n + q, c], so every tile
+    offset d[i][j] is an outer-dim index plus 0/1-shifted slice — no
+    sublane interleave reshapes, which Mosaic either rejects or lowers
+    to element shuffles that cost more than the matmuls (measured:
+    the in-kernel-split variant ran 3.6x slower than the XLA conv).
+    """
     b = pl.program_id(0)
     r = pl.program_id(1)
-    rows = 2 * tr + 2
-    w = 2 * tw
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * 2 * tr, rows)], xs_ref, sem)
+        x_hbm.at[b, :, :, pl.ds(r * tr, tr + 1)], xs_ref, sem)
     copy.start()
     copy.wait()
-    x = xs_ref[...]                                   # [rows, w + 2, cin]
+    x = xs_ref[...]                           # [2, 2, tr + 1, twp, cin]
 
-    # Column phase split. Strided slices lower to >2D gathers, which
-    # Mosaic rejects — split even/odd columns by reshaping the column
-    # axis to (tw, 2) and indexing instead. da[j][row, t] is tile
-    # column-offset j of tile-col t: x[row, 2 t + j].
-    lo = x[:, 0:w].reshape(rows, tw, 2, cin)
-    hi = x[:, 2:w + 2].reshape(rows, tw, 2, cin)
-    da = (lo[:, :, 0], lo[:, :, 1], hi[:, :, 0], hi[:, :, 1])
+    # d[i][j][a, t] = xpad[2 (r tr + a) + i, 2 t + j]
+    def dphase(i, j):
+        return x[i % 2, j % 2, i // 2:i // 2 + tr, j // 2:j // 2 + tw]
 
-    # Row phase split (outer axis -> free): d[j][i][a, t] = tile
-    # row-offset i, col-offset j of tile (a, t) = x[2 a + i, 2 t + j].
-    def row_phases(dj):
-        eo = dj[0:2 * tr].reshape(tr, 2, tw, cin)
-        sh = dj[2:2 * tr + 2].reshape(tr, 2, tw, cin)
-        return (eo[:, 0], eo[:, 1], sh[:, 0], sh[:, 1])
-
-    d = [row_phases(dj) for dj in da]                 # d[j][i] [tr, tw, cin]
+    d = [[dphase(i, j) for i in range(4)] for j in range(4)]
 
     # B^T along rows then columns (each point: one add/sub on the VPU).
     # e_u is built per-u inside the loop to keep VMEM live ranges short
@@ -185,9 +187,10 @@ def _wino_kernel(x_hbm, u_ref, out_ref, xs_ref, sem, *, tr: int, tw: int,
         out_ref[0, i, 1] = (p[1] - p[2] - p[3]).astype(dt)
 
 
-def _winograd_pallas(xp: jax.Array, u: jax.Array, h: int, w: int,
+def _winograd_pallas(xph: jax.Array, u: jax.Array, h: int, w: int,
                      interpret: bool = False) -> jax.Array:
-    b, hp, wp, cin = xp.shape
+    b = xph.shape[0]
+    cin = xph.shape[-1]
     cout = u.shape[-1]
     th, tw = h // 2, w // 2
     tr = _pick_tile_rows(th, tw, cin, cout)
@@ -198,22 +201,22 @@ def _winograd_pallas(xp: jax.Array, u: jax.Array, h: int, w: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),        # padded input in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # phased input in HBM
             pl.BlockSpec((16, cin, cout), lambda b_, r_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, 2, tr, tw, cout),
                                lambda b_, r_: (b_, 0, 0, r_, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, 2, th, tw, cout), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 2, th, tw, cout), xph.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * tr + 2, wp, cin), xp.dtype),
+            pltpu.VMEM((2, 2, tr + 1, xph.shape[4], cin), xph.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, u)
+    )(xph, u)
     # de-interleave phases: [b, 2, 2, th, tw, c] -> [b, h, w, c]
     return phased.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, cout)
 
@@ -230,8 +233,20 @@ def winograd_eligible(x_shape, kernel_shape, stride: int = 1,
     cout = kernel_shape[3]
     if h % 2 or w % 2 or h < 4 or w < 4:
         return False
-    if cin < 64 or cout < 64:
-        return False            # thin channels: XLA conv is fine
+    if cin < 64 or cout < 128 or cout % 128:
+        return False
+        # cout must fill whole MXU lane tiles: at cout=192 the padded
+        # matmul's useful rate tops out at ~110 TF/s while XLA's conv
+        # lowering reaches 126 TF/s (measured, profile_winograd2)
+    if h * w > 1024:
+        return False
+        # Measured (profile_winograd4, slope timing): at the separation
+        # model's large-spatial classes XLA's conv lowering runs at
+        # 173-200 TF/s (88-100% of bf16 peak) and the fused kernel
+        # LOSES (0.62-0.83x) — the 2.25x FLOP reduction is eaten by the
+        # tile transforms and phase prep. It wins only where XLA's conv
+        # underperforms: small-spatial 128-multiple-channel shapes like
+        # the image path's 32x32@128 (61 TF/s XLA -> 1.67x here).
     return _pick_tile_rows(h // 2, w // 2, cin, cout) is not None
 
 
@@ -243,19 +258,26 @@ def winograd_conv2d(x: jax.Array, kernel: jax.Array,
     NHWC `x`, HWIO `kernel`. Forward runs the Pallas kernel; backward is
     the XLA conv VJP (identical math). Bias is the caller's job.
     """
-    # The manual halo DMA needs 8-aligned sublane (W) extents and a
-    # 128-aligned lane (C) dim; pad both (the kernel never reads the W
-    # pad, and the zero channels contribute nothing to the contraction —
-    # Mosaic pads K to the lane tile anyway, so the matmul cost is
-    # unchanged; 384-channel convs are already aligned).
-    w, cin = x.shape[2], x.shape[3]
-    wp = -(-(w + 2) // 8) * 8
+    # XLA-side prep: SAME-pad, pad channels to a full lane tile (the
+    # zero channels are free — Mosaic pads K anyway), then phase-split
+    # X[b, r, q, m, n, c] = xpad[b, 2 m + r, 2 n + q, c] so the kernel
+    # never reshuffles sublanes (see _wino_kernel). This replaces — not
+    # adds to — the pad the kernel would otherwise need, and the
+    # transpose runs at HBM bandwidth. The phase dim n is padded to an
+    # 8-aligned DMA extent.
+    b, h, w, cin = x.shape
+    th, tw = h // 2, w // 2
     cp = -(-cin // 128) * 128
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, cp - cin)))
+    twp = -(-(tw + 1) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cp - cin)))
+    xph = (xp.reshape(b, th + 1, 2, tw + 1, 2, cp)
+           .transpose(0, 2, 4, 1, 3, 5))
+    xph = jnp.pad(xph, ((0, 0), (0, 0), (0, 0), (0, 0),
+                        (0, twp - tw - 1), (0, 0)))
     u = transform_weights(kernel).astype(x.dtype)
     if cp != cin:
         u = jnp.pad(u, ((0, 0), (0, cp - cin), (0, 0)))
-    return _winograd_pallas(xp, u, x.shape[1], w, interpret=interpret)
+    return _winograd_pallas(xph, u, h, w, interpret=interpret)
 
 
 def _xla_conv(x, kernel):
@@ -286,7 +308,12 @@ def dilated_eligible(x_shape, kernel_shape, stride: int = 1,
     """A dilation-d 3x3 SAME conv splits exactly into d*d independent
     stride-1 3x3 convs on the d-subsampled phase grids (the reference's
     cascade uses d in {2, 4}; score_network.py:121-178). Eligible when
-    the phase grid itself is Winograd-eligible."""
+    the phase grid itself is Winograd-eligible.
+
+    NOTE: nn.conv2d does NOT route dilated convs here — measured on the
+    cascade's shapes, XLA's dilated conv runs at 175-200 TF/s and the
+    phase-split path loses 2-3x (profile_winograd4). Kept as a tested
+    utility for shape classes where the phase conv wins."""
     if dilation < 2 or stride != 1:
         return False
     _, h, w, cin = x_shape

@@ -49,8 +49,9 @@ def main():
     print(f"device: {jax.devices()[0].device_kind}")
     key = jax.random.PRNGKey(0)
     for name, xshape, cout in [
-        ("96x64 192->192 b60", (60, 96, 64, 192), 192),
         ("48x32 384->384 b60", (60, 48, 32, 384), 384),
+        ("96x64 192->384 b60", (60, 96, 64, 192), 384),
+        ("32x32 128->128 b20", (20, 32, 32, 128), 128),
     ]:
         bsz, h, w, cin = xshape
         k1, k2, key = jax.random.split(key, 3)
@@ -73,15 +74,18 @@ def main():
         print(f"{name}: wino-full {t*1e3:7.3f} ms net "
               f"({conv_flop/t/1e12:6.1f} conv-TF/s)")
 
-        # raw kernel on pre-padded input, phased output
-        wp = -(-(w + 2) // 8) * 8
+        # raw kernel on pre-phased input, phased output
+        th, tw = h // 2, w // 2
         cp = -(-cin // 128) * 128
-        xpad = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, cp - cin)))
+        twp = -(-(tw + 1) // 8) * 8
+        xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cp - cin)))
+        xph = (xpad.reshape(bsz, th + 1, 2, tw + 1, 2, cp)
+               .transpose(0, 2, 4, 1, 3, 5))
+        xph = jnp.pad(xph, ((0, 0), (0, 0), (0, 0), (0, 0),
+                            (0, twp - tw - 1), (0, 0)))
         u = W.transform_weights(wk).astype(x.dtype)
         if cp != cin:
             u = jnp.pad(u, ((0, 0), (0, cp - cin), (0, 0)))
-
-        th, tw = h // 2, w // 2
         for tr in sorted({t_ for t_ in (4, 8, 12, 16, 24, th)
                           if th % t_ == 0}):
             orig = W._pick_tile_rows
@@ -89,7 +93,7 @@ def main():
             try:
                 def raw(xx):
                     return W._winograd_pallas(xx, u, h, w)
-                t, _ = scan_net(raw, xpad)
+                t, _ = scan_net(raw, xph)
             finally:
                 W._pick_tile_rows = orig
             print(f"{name}: raw-kernel tr={tr:3d} (T={tr*tw:5d}) "

@@ -367,7 +367,11 @@ if __name__ == "__main__":
                              "path: ~1.5x faster separation)")
     parser.add_argument("--winograd", action="store_true",
                         help="fused Winograd kernel for eligible 3x3 "
-                             "convs (TPU only; fastest with bf16)")
+                             "convs (TPU only; wins on small-spatial "
+                             "128-multiple-channel models like the "
+                             "32x32 image priors — the melspec model's "
+                             "conv shapes stay on XLA, where its conv "
+                             "lowering is already at 88-100%% of peak)")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)
