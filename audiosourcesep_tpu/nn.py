@@ -82,7 +82,7 @@ def conv2d(params: dict, x: Array, stride: int = 1, dilation: int = 1,
     if _WINOGRAD and padding == "SAME" and jax.default_backend() == "tpu":
         # dilated convs are deliberately NOT routed: XLA's dilated conv
         # lowering runs at 175-200 TF/s on the cascade's shapes and the
-        # phase-split path loses 2-3x (profile_winograd4)
+        # phase-split path loses 2-3x (benchmarks/profile_winograd.py)
         from .ops.winograd import winograd_conv2d, winograd_eligible
         if winograd_eligible(x.shape, kernel.shape, stride, dilation):
             y = winograd_conv2d(x, kernel)

@@ -8,7 +8,7 @@ convolution with 2.25x fewer MXU FLOPs by transforming 4x4 input tiles
 (stride 2) into a per-tile elementwise product in a 16-point transform
 domain, which batches into 16 channel-contraction matmuls:
 
-Measured verdict (profile_winograd4, slope timing, v5e): XLA's conv
+Measured verdict (benchmarks/profile_winograd.py, slope timing, v5e): XLA's conv
 lowering runs at 88-100% of bf16 peak on the melspec separation model's
 conv classes, so this kernel only wins where XLA's conv underperforms —
 small-spatial 128-multiple-channel shapes (the 32x32@128 image path:
@@ -237,10 +237,10 @@ def winograd_eligible(x_shape, kernel_shape, stride: int = 1,
         return False
         # cout must fill whole MXU lane tiles: at cout=192 the padded
         # matmul's useful rate tops out at ~110 TF/s while XLA's conv
-        # lowering reaches 126 TF/s (measured, profile_winograd2)
+        # lowering reaches 126 TF/s (measured, benchmarks/profile_winograd.py)
     if h * w > 1024:
         return False
-        # Measured (profile_winograd4, slope timing): at the separation
+        # Measured (benchmarks/profile_winograd.py, slope timing): at the separation
         # model's large-spatial classes XLA's conv lowering runs at
         # 173-200 TF/s (88-100% of bf16 peak) and the fused kernel
         # LOSES (0.62-0.83x) — the 2.25x FLOP reduction is eaten by the
@@ -312,7 +312,7 @@ def dilated_eligible(x_shape, kernel_shape, stride: int = 1,
 
     NOTE: nn.conv2d does NOT route dilated convs here — measured on the
     cascade's shapes, XLA's dilated conv runs at 175-200 TF/s and the
-    phase-split path loses 2-3x (profile_winograd4). Kept as a tested
+    phase-split path loses 2-3x (benchmarks/profile_winograd.py). Kept as a tested
     utility for shape classes where the phase conv wins."""
     if dilation < 2 or stride != 1:
         return False

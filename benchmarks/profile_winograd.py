@@ -1,13 +1,15 @@
-"""Winograd Pallas kernel vs XLA conv at the separation model's two
-dominant conv classes (docs/DESIGN.md round-3 decomposition):
+"""Winograd vs XLA conv with SLOPE timing: per-iteration cost from
+(t(N2) - t(N1)) / (N2 - N1) over scan-amortized loops, so constant
+dispatch/feedback overheads cancel exactly (an identity-baseline
+subtraction harness over-subtracted: it reported XLA conv above
+hardware peak and negative Winograd nets). Both variants carry the
+same jnp.max feedback, which is included in the slope but identical
+across variants of the same shape.
 
-    96x64 @ 192->192, batch 60   (27% of forward FLOPs, ~50% MXU peak)
-    48x32 @ 384->384, batch 60   (49% of forward FLOPs, ~84% MXU peak)
-
-Winograd F(2x2,3x3) computes each with 2.25x fewer MXU FLOPs; the
-question this script answers is how much of that shows up end-to-end
-once the in-VMEM transforms are paid. Timing uses the scan-amortized
-harness with a jnp.max feedback (CLAUDE.md timing rules).
+Measured verdict (v5e, bf16): see ops/winograd.py docstring and
+docs/DESIGN.md "Winograd verdict" — XLA's conv wins every melspec
+separation class (it runs at 88-100% of peak); the kernel wins 1.67x
+on the image path's 32x32@128 class.
 """
 import os
 import sys
@@ -22,66 +24,69 @@ from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
 
 enable_compilation_cache()
 
-from audiosourcesep_tpu.ops.winograd import (transform_weights,
-                                             winograd_conv2d,
-                                             winograd_eligible)
+import audiosourcesep_tpu.ops.winograd as W
+
+N1, N2 = 4, 20
 
 
-def scan_time_max(fn, x, iters=10, reps=3):
-    """Amortized per-iteration time; feedback via jnp.max (safe against
-    strength reduction, see benchmarks/profile_basis4.py)."""
-    @jax.jit
-    def loop(x0):
-        def body(carry, _):
-            y = fn(carry)
-            return carry + 0.001 * jnp.max(y), None
-        out, _ = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(out)
+def slope_time(fn, x, reps=3):
+    def make(n):
+        @jax.jit
+        def loop(x0):
+            def body(carry, _):
+                y = fn(carry)
+                return carry + (0.001 * jnp.max(y)).astype(carry.dtype), None
+            out, _ = jax.lax.scan(body, x0, None, length=n)
+            return jnp.sum(out.astype(jnp.float32))
+        return loop
 
-    fence(loop(x))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    def best_of(loop):
         fence(loop(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fence(loop(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    l1, l2 = make(N1), make(N2)
+    return (best_of(l2) - best_of(l1)) / (N2 - N1)
 
 
 def main():
     print(f"device: {jax.devices()[0].device_kind}")
     key = jax.random.PRNGKey(0)
-    cases = [
-        ("96x64 192->192 b60", (60, 96, 64, 192), (3, 3, 192, 192)),
-        ("48x32 384->384 b60", (60, 48, 32, 384), (3, 3, 384, 384)),
-        ("96x64 192->384 b60", (60, 96, 64, 192), (3, 3, 192, 384)),
-        ("48x32 192->192 b60", (60, 48, 32, 192), (3, 3, 192, 192)),
-    ]
-    for name, xshape, kshape in cases:
+    for name, xshape, cout, dil in [
+        ("48x32 384->384 b60      ", (60, 48, 32, 384), 384, 1),
+        ("96x64 192->384 b60      ", (60, 96, 64, 192), 384, 1),
+        ("48x32 384->384 b60 dil=2", (60, 48, 32, 384), 384, 2),
+        ("48x32 384->384 b60 dil=4", (60, 48, 32, 384), 384, 4),
+        ("32x32 128->128 b20      ", (20, 32, 32, 128), 128, 1),
+    ]:
+        bsz, h, w, cin = xshape
         k1, k2, key = jax.random.split(key, 3)
         x = (jax.random.normal(k1, xshape) * 0.1).astype(jnp.bfloat16)
-        w = (jax.random.normal(k2, kshape) * 0.05).astype(jnp.bfloat16)
-        conv_flop = 2 * xshape[0] * xshape[1] * xshape[2] \
-            * kshape[0] * kshape[1] * kshape[2] * kshape[3]
+        wk = (jax.random.normal(k2, (3, 3, cin, cout)) * 0.05
+              ).astype(jnp.bfloat16)
+        conv_flop = 2 * bsz * h * w * 9 * cin * cout
 
         def xla_conv(xx):
             return jax.lax.conv_general_dilated(
-                xx, w, (1, 1), "SAME",
+                xx, wk, (1, 1), "SAME", rhs_dilation=(dil, dil),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        def wino(xx):
-            return winograd_conv2d(xx, w)
+        if dil == 1:
+            def wino(xx):
+                return W.winograd_conv2d(xx, wk)
+        else:
+            def wino(xx):
+                return W.dilated_winograd_conv2d(xx, wk, dil)
 
-        assert winograd_eligible(xshape, kshape)
-        # numerics vs the XLA conv at bf16
-        d = jnp.max(jnp.abs(wino(x).astype(jnp.float32)
-                            - xla_conv(x).astype(jnp.float32)))
-        scale = jnp.max(jnp.abs(xla_conv(x).astype(jnp.float32)))
-        t_xla = scan_time_max(xla_conv, x)
-        t_win = scan_time_max(wino, x)
-        print(f"{name}: xla {t_xla*1e3:7.3f} ms ({conv_flop/t_xla/1e12:6.1f}"
-              f" TF/s)  wino {t_win*1e3:7.3f} ms "
-              f"(x{t_xla/t_win:4.2f}, {conv_flop/t_win/1e12:6.1f} conv-TF/s)"
-              f"  maxdiff {float(d):.4f} (scale {float(scale):.1f})")
+        t_x = slope_time(xla_conv, x)
+        t_w = slope_time(wino, x)
+        print(f"{name}: xla {t_x*1e3:7.3f} ms ({conv_flop/t_x/1e12:6.1f} "
+              f"TF/s)  wino {t_w*1e3:7.3f} ms "
+              f"({conv_flop/t_w/1e12:6.1f} conv-TF/s)  x{t_x/t_w:5.2f}")
 
 
 if __name__ == "__main__":

@@ -93,7 +93,7 @@ class TestEligibility:
 
     def test_ineligible_cases(self):
         # separation model classes: XLA's conv runs at 88-100% of bf16
-        # peak there and the kernel measured slower (profile_winograd4)
+        # peak there and the kernel measured slower (benchmarks/profile_winograd.py)
         assert not winograd_eligible((60, 48, 32, 384), (3, 3, 384, 384))
         assert not winograd_eligible((60, 96, 64, 192), (3, 3, 192, 384))
         # cout=192: XLA's conv lowering beats the padded-N matmul ceiling
