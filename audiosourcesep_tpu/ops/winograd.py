@@ -12,9 +12,15 @@ Measured verdict (benchmarks/profile_winograd.py, slope timing, v5e): XLA's conv
 lowering runs at 88-100% of bf16 peak on the melspec separation model's
 conv classes, so this kernel only wins where XLA's conv underperforms —
 small-spatial 128-multiple-channel shapes (the 32x32@128 image path:
-1.67x) — and `winograd_eligible` restricts routing accordingly.  The
-general mechanism is kept (and tested) because it is the template for
-any future shape class where XLA's conv leaves room.
+1.67x) — and `winograd_eligible` restricts routing accordingly.
+End-to-end coda (benchmarks/bench_image_basis.py): even on the image
+path the full anneal is 0.71x with routing on — `pallas_call` is a
+fusion barrier, so the norm/activation epilogues XLA folds into convs
+become separate HBM round-trips — hence routing is opt-in-experimental
+everywhere (`run_basis_sep.py --winograd`) and no path uses it by
+default.  The general mechanism is kept (and tested) because it is the
+template for any future shape class where XLA's *fused* conv leaves
+room.
 
     Y = A^T [ (G g G^T) . (B^T d B) ] A      (per tile, summed over C_in)
 

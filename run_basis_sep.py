@@ -366,12 +366,16 @@ if __name__ == "__main__":
                         help="f32 (reference numerics) or bf16 (TPU fast "
                              "path: ~1.5x faster separation)")
     parser.add_argument("--winograd", action="store_true",
-                        help="fused Winograd kernel for eligible 3x3 "
-                             "convs (TPU only; wins on small-spatial "
-                             "128-multiple-channel models like the "
-                             "32x32 image priors — the melspec model's "
-                             "conv shapes stay on XLA, where its conv "
-                             "lowering is already at 88-100%% of peak)")
+                        help="EXPERIMENTAL: route eligible 3x3 convs "
+                             "through the fused Winograd kernel (TPU "
+                             "only). Wins 1.67x on the isolated "
+                             "32x32@128 conv but measured SLOWER "
+                             "end-to-end on the full anneal (0.71x, "
+                             "benchmarks/bench_image_basis.py) — the "
+                             "pallas_call fusion barrier costs more "
+                             "than the FLOP saving. Off by default "
+                             "everywhere; kept for re-evaluation on "
+                             "other models/hardware.")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)

@@ -20,6 +20,17 @@ class TestBenchSmoke:
         assert out["metric"] == "basis_separation_1min_mix_wallclock"
         assert out["value"] > 0 and out["vs_baseline"] > 0
 
+    def test_bench_image_basis_tiny(self):
+        sys.path.insert(0, ".")
+        from benchmarks import bench_image_basis as bib
+        orig = bib.N_FILTERS, bib.NUM_CLASSES
+        try:
+            bib.N_FILTERS, bib.NUM_CLASSES = 4, 2
+            first, best = bib.time_variant(False, 2, 1, None)
+            assert first > 0 and best > 0
+        finally:
+            bib.N_FILTERS, bib.NUM_CLASSES = orig
+
     def test_graft_entry(self):
         sys.path.insert(0, ".")
         import __graft_entry__ as g
