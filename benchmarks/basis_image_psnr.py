@@ -1,10 +1,23 @@
 #!/usr/bin/env python
 """BASIS image-mixture separation PSNR (thesis Table 3.2 analog).
 
-Trains an NCSNv1 prior on the image/toy dataset through the real CLIs, runs
-BASIS on ``--n_mixed`` mixed pairs, and reports mean PSNR of the recovered
+Trains a prior on the image/toy dataset through the real CLIs, runs BASIS
+on ``--n_mixed`` mixed pairs, and reports mean PSNR of the recovered
 sources (best per-pair permutation), the metric of thesis Table 3.2
 (MNIST: Glow prior 21.2 dB / NCSN prior 28.5 dB over 1000 pairs).
+
+``--prior ncsn`` (default) trains an NCSNv1 score prior. ``--prior glow``
+exercises the full flow-prior chain: base Glow -> noisy-Glow sigma-chained
+fine-tuning (train_noisy_glow.py) -> Glow-prior BASIS (score =
+grad log_prob through the flow, per-level param stacks). Glow separates in
+DATA scale (its preprocessing bijector rescales internally, see
+run_basis_sep.py), so the Langevin schedule is the scale-equivalent of the
+reference's [0,1] one: sigmas and the noisy-training sigmas scale by the
+256 data span, step_lr by its square (exact invariance of the BASIS
+update; the reference glow branch never ran as written so it fixes no
+convention). The affine (no-logit) image preprocessing is used: the logit
+variant's domain (0,256) cannot absorb sigma-scale noise or an
+unconstrained Langevin iterate.
 
 With the offline digits stand-in cache (scripts/build_mnist_cache.py
 --synthetic-digits) the number is NOT comparable to the MNIST baselines —
@@ -30,7 +43,9 @@ DEVICE = "cpu"
 def run(script, *args, env_extra=None):
     env = dict(os.environ)
     if DEVICE == "cpu":
-        env.setdefault("JAX_PLATFORMS", "cpu")
+        # force, don't setdefault: the session shell may export
+        # JAX_PLATFORMS=axon, which would silently send children to the TPU
+        env["JAX_PLATFORMS"] = "cpu"
     else:
         env.pop("JAX_PLATFORMS", None)   # the real accelerator
     env.update(env_extra or {})
@@ -54,13 +69,26 @@ def psnr_pairs(x1, x2, gt1, gt2, peak=255.0):
     return np.maximum(direct, swapped)
 
 
+SPAN = 256.0   # image data span: sigmas scale by SPAN, step_lr by SPAN^2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir")
+    ap.add_argument("--prior", choices=["ncsn", "glow"], default="ncsn")
     ap.add_argument("--n_mixed", type=int, default=20)
-    ap.add_argument("--n_filters", type=int, default=64)
-    ap.add_argument("--n_epochs", type=int, default=60)
+    ap.add_argument("--n_filters", type=int, default=64,
+                    help="NCSN filters (--prior ncsn)")
+    ap.add_argument("--n_epochs", type=int, default=60,
+                    help="NCSN training epochs (--prior ncsn)")
     ap.add_argument("--T", type=int, default=100)
+    ap.add_argument("--glow_K", type=int, default=16)
+    ap.add_argument("--glow_L", type=int, default=3)
+    ap.add_argument("--glow_filters", type=int, default=256)
+    ap.add_argument("--glow_epochs", type=int, default=120,
+                    help="base Glow training epochs (--prior glow)")
+    ap.add_argument("--glow_epochs_per_sigma", type=int, default=10,
+                    help="noisy-Glow fine-tune epochs per noise level")
     ap.add_argument("--device", choices=["cpu", "native"], default="cpu",
                     help="cpu: force JAX_PLATFORMS=cpu in the child CLIs; "
                          "native: let them use the real accelerator")
@@ -70,23 +98,54 @@ def main():
 
     w = os.path.abspath(args.workdir)
     os.makedirs(w, exist_ok=True)
-    prior = os.path.join(w, "ncsn_image")
-    if not os.path.exists(os.path.join(prior, "ckpts", "checkpoint.json")):
-        run("train_ncsn.py", "--dataset", "mnist", "--output", prior,
-            "--debug", "--version", "v1", "--n_filters",
-            str(args.n_filters), "--num_classes", "10",
-            "--sigma1", "1.0", "--sigmaL", "0.01",
-            "--progression", "logarithmic", "--n_epochs",
-            str(args.n_epochs), "--batch_size", "64", "--T", "1",
-            "--sample_every", "10000", "--ema")
+    if args.prior == "glow":
+        # adamax 1e-3 (reference default) explodes on the first step at
+        # this scale (see quality_glow_mnist.sh); 1e-4 trains monotonically
+        glow_hp = ["--L", str(args.glow_L), "--K", str(args.glow_K),
+                   "--n_filters", str(args.glow_filters), "--learntop",
+                   "--optimizer", "adamax", "--learning_rate", "0.0001",
+                   "--batch_size", "256"]
+        sig = ["--sigma1", str(SPAN * 1.0), "--sigmaL", str(SPAN * 0.01),
+               "--num_classes", "10", "--progression", "logarithmic"]
+        base = os.path.join(w, "glow_image")
+        if not os.path.exists(os.path.join(base, "ckpts",
+                                           "checkpoint.json")):
+            run("train_glow.py", "--dataset", "mnist", "--output", base,
+                "--debug", "--n_epochs", str(args.glow_epochs), *glow_hp)
+        prior = os.path.join(w, "noisy_glow_image")
+        if not os.path.exists(os.path.join(
+                prior, f"sigma_{round(SPAN * 0.01, 2)}", "ckpts",
+                "checkpoint.json")):
+            run("train_noisy_glow.py", base, "--dataset", "mnist",
+                "--output", prior, "--debug",
+                "--n_epochs", str(args.glow_epochs_per_sigma),
+                *glow_hp, *sig)
+        sep = os.path.join(w, "basis_sep_glow")
+        run("run_basis_sep.py", prior, prior, "--output", sep, "--debug",
+            "--dataset", "mnist", "--model_type", "glow",
+            "--L", str(args.glow_L), "--K", str(args.glow_K),
+            "--n_filters", str(args.glow_filters), "--learntop",
+            "--T", str(args.T), "--step_lr", str(2e-5 * SPAN * SPAN),
+            "--n_mixed", str(args.n_mixed), *sig)
+    else:
+        prior = os.path.join(w, "ncsn_image")
+        if not os.path.exists(os.path.join(prior, "ckpts",
+                                           "checkpoint.json")):
+            run("train_ncsn.py", "--dataset", "mnist", "--output", prior,
+                "--debug", "--version", "v1", "--n_filters",
+                str(args.n_filters), "--num_classes", "10",
+                "--sigma1", "1.0", "--sigmaL", "0.01",
+                "--progression", "logarithmic", "--n_epochs",
+                str(args.n_epochs), "--batch_size", "64", "--T", "1",
+                "--sample_every", "10000", "--ema")
 
-    sep = os.path.join(w, "basis_sep")
-    run("run_basis_sep.py", prior, prior, "--output", sep, "--debug",
-        "--dataset", "mnist", "--model_type", "ncsn", "--version", "v1",
-        "--n_filters", str(args.n_filters), "--num_classes", "10",
-        "--sigma1", "1.0", "--sigmaL", "0.01",
-        "--progression", "logarithmic", "--T", str(args.T),
-        "--n_mixed", str(args.n_mixed), "--ema")
+        sep = os.path.join(w, "basis_sep")
+        run("run_basis_sep.py", prior, prior, "--output", sep, "--debug",
+            "--dataset", "mnist", "--model_type", "ncsn", "--version", "v1",
+            "--n_filters", str(args.n_filters), "--num_classes", "10",
+            "--sigma1", "1.0", "--sigmaL", "0.01",
+            "--progression", "logarithmic", "--T", str(args.T),
+            "--n_mixed", str(args.n_mixed), "--ema")
 
     res = np.load(os.path.join(sep, "results.npz"))
     x1, x2 = res["x1"], res["x2"]
@@ -105,6 +164,7 @@ def main():
         pass
     print(json.dumps({
         "metric": "basis_image_separation_psnr",
+        "prior": args.prior,
         "value": round(float(np.mean(p)), 2),
         "unit": "dB",
         "n_pairs": int(len(p)),

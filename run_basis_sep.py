@@ -253,7 +253,10 @@ def main(args):
         x_init = shard_batch(x_init, mesh, batch_axis=1)
         mixed_dev = shard_batch(mixed_dev, mesh, batch_axis=0)
 
-    cfg = BasisConfig(T=args.T, delta=2e-5, data_type=data_type,
+    # reference hardcodes delta=2e-5 even when the config carries step_lr
+    # (run_basis_sep.py:239); here the flag/config value is honored
+    cfg = BasisConfig(T=args.T, delta=getattr(args, "step_lr", 2e-5),
+                      data_type=data_type,
                       scale=args.scale, collect_trajectory=True)
 
     def progress(level, x):
@@ -385,6 +388,14 @@ if __name__ == "__main__":
     parser.add_argument("--scale", type=str, default="dB")
     # BASIS
     parser.add_argument("--T", type=int, default=100)
+    parser.add_argument("--step_lr", type=float, default=2e-5,
+                        help="Langevin step size delta (eta = delta * "
+                             "(sigma/sigmaL)^2). The reference hardcodes "
+                             "2e-5 (run_basis_sep.py:153,239) for data "
+                             "rescaled to [0,1]; Glow priors separate in "
+                             "DATA scale here, where the scale-equivalent "
+                             "value is 2e-5 * span^2 (and sigmas scale by "
+                             "span) — e.g. span 256 for images")
     parser.add_argument("--sigma1", type=float, default=1.0)
     parser.add_argument("--sigmaL", type=float, default=0.01)
     parser.add_argument("--num_classes", type=float, default=10)

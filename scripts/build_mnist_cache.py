@@ -33,8 +33,16 @@ import argparse
 import gzip
 import os
 import struct
+import sys
 
 import numpy as np
+
+# import the package before jax loads: its __init__ re-applies
+# JAX_PLATFORMS=cpu after this container's sitecustomize overrides
+# jax.config — without it the bicubic upsample below would silently target
+# the accelerator (and hang outright when the TPU tunnel is unreachable)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import audiosourcesep_tpu  # noqa: F401,E402
 
 
 def _open_maybe_gz(path):

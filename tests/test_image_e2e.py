@@ -118,6 +118,37 @@ def test_basis_image_separation(mnist_cache, trained_image_ncsn, tmp_path):
     assert np.isfinite(psnr).all()
 
 
+def test_glow_basis_image_end_to_end(mnist_cache, tmp_path):
+    """Glow-prior image BASIS: base Glow -> noisy-Glow sigma chain ->
+    separation in DATA scale with span-scaled sigmas/step_lr (the
+    [0,1]-schedule equivalence documented in benchmarks/basis_image_psnr.py;
+    reference run_basis_sep.py:386-390 glow branch never ran as written)."""
+    glow_hp = ["--L", "2", "--K", "1", "--n_filters", "8",
+               "--batch_size", "64"]
+    sig = ["--sigma1", "256.0", "--sigmaL", "2.56", "--num_classes", "2",
+           "--progression", "logarithmic"]
+    base = str(tmp_path / "glow_image_tiny")
+    run_cli(mnist_cache, "train_glow.py", "--dataset", "mnist",
+            "--output", base, "--debug", "--n_epochs", "1", *glow_hp)
+    noisy = str(tmp_path / "noisy_glow_image_tiny")
+    run_cli(mnist_cache, "train_noisy_glow.py", base, "--dataset", "mnist",
+            "--output", noisy, "--debug", "--n_epochs", "1",
+            *glow_hp, *sig)
+    assert os.path.exists(os.path.join(noisy, "sigma_2.56", "ckpts",
+                                       "checkpoint.json"))
+    out = str(tmp_path / "basis_glow_image_tiny")
+    run_cli(mnist_cache, "run_basis_sep.py", noisy, noisy, "--output", out,
+            "--debug", "--dataset", "mnist", "--model_type", "glow",
+            "--L", "2", "--K", "1", "--n_filters", "8",
+            "--T", "2", "--step_lr", str(2e-5 * 256.0 * 256.0),
+            "--n_mixed", "2", *sig)
+    res = np.load(os.path.join(out, "results.npz"))
+    x1 = res["x1"]
+    assert x1.shape == (2, 32, 32)
+    assert np.isfinite(x1).all()
+    assert x1.min() >= 0.0 and x1.max() <= 255.0
+
+
 def test_cifar10_cache_roundtrip(tmp_path, monkeypatch):
     """build_cifar10_cache.py on synthetic standard-format batches ->
     load_toydata('cifar10') shapes/range."""
