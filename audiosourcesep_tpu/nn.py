@@ -84,7 +84,8 @@ def conv2d(params: dict, x: Array, stride: int = 1, dilation: int = 1,
         # lowering runs at 175-200 TF/s on the cascade's shapes and the
         # phase-split path loses 2-3x (benchmarks/profile_winograd.py)
         from .ops.winograd import winograd_conv2d, winograd_eligible
-        if winograd_eligible(x.shape, kernel.shape, stride, dilation):
+        if winograd_eligible(x.shape, kernel.shape, stride, dilation,
+                             itemsize=jnp.dtype(x.dtype).itemsize):
             y = winograd_conv2d(x, kernel)
             if "bias" in params:
                 y = y + params["bias"].astype(x.dtype)

@@ -105,26 +105,30 @@ def winograd_conv2d_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _block_vmem_bytes(tr: int, tw: int, cin: int, cout: int) -> int:
-    """Rough VMEM bytes for one grid step: phased input slab (bf16) + U
-    (bf16) + live V transforms (bf16) + 8 P accumulators (f32) +
-    double-buffered phased output block (bf16)."""
+def _block_vmem_bytes(tr: int, tw: int, cin: int, cout: int,
+                      itemsize: int = 2) -> int:
+    """Rough VMEM bytes for one grid step: phased input slab + U + live V
+    transforms + 8 P accumulators (always f32) + double-buffered phased
+    output block. ``itemsize`` is the element width of x/u/v/out (2 for
+    the bf16 fast path, 4 for f32 routing)."""
     twp = -(-(tw + 1) // 8) * 8
-    return (4 * (tr + 1) * twp * cin * 2
-            + 16 * cin * cout * 2
-            + 8 * tr * tw * cin * 2
+    return (4 * (tr + 1) * twp * cin * itemsize
+            + 16 * cin * cout * itemsize
+            + 8 * tr * tw * cin * itemsize
             + 8 * tr * tw * cout * 4
-            + 2 * 4 * tr * tw * cout * 2)
+            + 2 * 4 * tr * tw * cout * itemsize)
 
 
-def _pick_tile_rows(th: int, tw: int, cin: int, cout: int):
+def _pick_tile_rows(th: int, tw: int, cin: int, cout: int,
+                    itemsize: int = 2):
     """Tile-rows per block: the largest divisor of th whose block fits
     the VMEM budget with tr*tw <= 256 tiles (MXU M-dim stays <= 2 tiles
     of 128). None if no divisor fits."""
     best = None
     for tr in range(1, th + 1):
         if th % tr == 0 and tr * tw <= 256 \
-                and _block_vmem_bytes(tr, tw, cin, cout) < _VMEM_BUDGET:
+                and _block_vmem_bytes(tr, tw, cin, cout,
+                                      itemsize) < _VMEM_BUDGET:
             best = tr
     return best
 
@@ -199,7 +203,7 @@ def _winograd_pallas(xph: jax.Array, u: jax.Array, h: int, w: int,
     cin = xph.shape[-1]
     cout = u.shape[-1]
     th, tw = h // 2, w // 2
-    tr = _pick_tile_rows(th, tw, cin, cout)
+    tr = _pick_tile_rows(th, tw, cin, cout, jnp.dtype(xph.dtype).itemsize)
     assert tr is not None, "caller must check winograd_eligible first"
     grid = (b, th // tr)
     kernel = partial(_wino_kernel, tr=tr, tw=tw, cin=cin, cout=cout)
@@ -228,9 +232,11 @@ def _winograd_pallas(xph: jax.Array, u: jax.Array, h: int, w: int,
 
 
 def winograd_eligible(x_shape, kernel_shape, stride: int = 1,
-                      dilation: int = 1) -> bool:
+                      dilation: int = 1, itemsize: int = 2) -> bool:
     """True when the fused kernel supports this conv (3x3, stride 1,
-    undilated, even spatial dims, enough channels to feed the MXU)."""
+    undilated, even spatial dims, enough channels to feed the MXU).
+    ``itemsize`` is the conv dtype's width (2 bf16 / 4 f32) — the VMEM
+    fit must be judged at the width the kernel will actually run."""
     if len(kernel_shape) != 4 or tuple(kernel_shape[:2]) != (3, 3):
         return False
     if stride != 1 or dilation != 1:
@@ -253,7 +259,10 @@ def winograd_eligible(x_shape, kernel_shape, stride: int = 1,
         # tile transforms and phase prep. It wins only where XLA's conv
         # underperforms: small-spatial 128-multiple-channel shapes like
         # the image path's 32x32@128 (61 TF/s XLA -> 1.67x here).
-    return _pick_tile_rows(h // 2, w // 2, cin, cout) is not None
+    # judge the fit at the shapes the kernel sees: channels padded to a
+    # full 128 lane tile (winograd_conv2d pads before the pallas_call)
+    cp = -(-cin // 128) * 128
+    return _pick_tile_rows(h // 2, w // 2, cp, cout, itemsize) is not None
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

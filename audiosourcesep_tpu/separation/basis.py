@@ -152,7 +152,8 @@ def basis_separate_per_level(score_fn: Callable, params, mixed: Array,
             callback(level, x)
         if config.collect_trajectory:
             traj.append(x)
-            x = jnp.copy(x)   # keep the snapshot; donate the copy
+            if level < L - 1:
+                x = jnp.copy(x)   # keep the snapshot; donate the copy
     return x, (jnp.stack(traj) if config.collect_trajectory else None)
 
 

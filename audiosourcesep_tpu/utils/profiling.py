@@ -30,23 +30,16 @@ def fence(tree) -> None:
             jax.device_get(el)
 
 
-def enable_compilation_cache(path: str = "~/.cache/jax_comp") -> None:
-    """Point JAX's persistent compilation cache at ``path``.
+def enable_compilation_cache() -> None:
+    """Persistent-compilation-cache hook for bench/profile scripts.
 
-    The first XLA compile of the big separation program costs minutes
-    through the remote-compile backend; caching skips the client-side
-    compile in later processes (the remote executable load it cannot skip
-    is documented in CLAUDE.md). Shared by bench.py and the
-    benchmarks/profile_* scripts.
+    The package __init__ already configures the cache at import (honoring
+    the ASR_JAX_CACHE / ASR_NO_JAX_CACHE env controls); this re-applies the
+    same configuration rather than duplicating it, so the env opt-out keeps
+    working for scripts that call it explicitly.
     """
-    import os
-    p = os.path.expanduser(path)
-    os.makedirs(p, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", p)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from .. import _enable_compilation_cache
+    _enable_compilation_cache()
 
 
 @contextlib.contextmanager

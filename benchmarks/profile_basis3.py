@@ -81,7 +81,10 @@ def main():
                     v, w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.bfloat16),
                 b, a, iters=30,
-                feedback=lambda y, x0: x0 + 1e-6 * y[:, :1])
+                # full-output feedback XLA cannot strength-reduce (a
+                # column slice turns the matmul into a GEMV; see CLAUDE.md
+                # and profile_basis4.scan_time_max)
+                feedback=lambda y, x0: x0 + 1e-6 * jnp.max(y))
             print(f"matmul {name} [{M}x{K}]x[{K}x{N}]: {dt*1e3:.3f} ms  "
                   f"{fl/dt/1e12:.1f} TFLOP/s", flush=True)
 
@@ -104,8 +107,9 @@ def main():
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.bfloat16),
                 kern, xb, iters=30,
-                feedback=lambda y, x0: x0 + 0.01 * y[..., :x0.shape[-1]]
-                if y.shape[-1] >= x0.shape[-1] else x0)
+                # jnp.max consumes the FULL conv output; a channel slice
+                # would be strength-reduced to a sliced-kernel conv
+                feedback=lambda y, x0: x0 + 0.01 * jnp.max(y))
             print(f"conv {name}: {dt*1e3:.3f} ms  "
                   f"{fl/dt/1e12:.1f} TFLOP/s-of-nominal", flush=True)
 

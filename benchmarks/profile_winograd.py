@@ -29,23 +29,25 @@ import audiosourcesep_tpu.ops.winograd as W
 N1, N2 = 4, 20
 
 
-def slope_time(fn, x, reps=3):
+def slope_time(fn, w, x, reps=3):
+    # the weight enters the jit as an ARGUMENT — a closure would bake it
+    # into the HLO as a constant (breaks remote compile; CLAUDE.md)
     def make(n):
         @jax.jit
-        def loop(x0):
+        def loop(w0, x0):
             def body(carry, _):
-                y = fn(carry)
+                y = fn(w0, carry)
                 return carry + (0.001 * jnp.max(y)).astype(carry.dtype), None
             out, _ = jax.lax.scan(body, x0, None, length=n)
             return jnp.sum(out.astype(jnp.float32))
         return loop
 
     def best_of(loop):
-        fence(loop(x))
+        fence(loop(w, x))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            fence(loop(x))
+            fence(loop(w, x))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -70,20 +72,20 @@ def main():
               ).astype(jnp.bfloat16)
         conv_flop = 2 * bsz * h * w * 9 * cin * cout
 
-        def xla_conv(xx):
+        def xla_conv(w0, xx):
             return jax.lax.conv_general_dilated(
-                xx, wk, (1, 1), "SAME", rhs_dilation=(dil, dil),
+                xx, w0, (1, 1), "SAME", rhs_dilation=(dil, dil),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         if dil == 1:
-            def wino(xx):
-                return W.winograd_conv2d(xx, wk)
+            def wino(w0, xx):
+                return W.winograd_conv2d(xx, w0)
         else:
-            def wino(xx):
-                return W.dilated_winograd_conv2d(xx, wk, dil)
+            def wino(w0, xx):
+                return W.dilated_winograd_conv2d(xx, w0, dil)
 
-        t_x = slope_time(xla_conv, x)
-        t_w = slope_time(wino, x)
+        t_x = slope_time(xla_conv, wk, x)
+        t_w = slope_time(wino, wk, x)
         print(f"{name}: xla {t_x*1e3:7.3f} ms ({conv_flop/t_x/1e12:6.1f} "
               f"TF/s)  wino {t_w*1e3:7.3f} ms "
               f"({conv_flop/t_w/1e12:6.1f} conv-TF/s)  x{t_x/t_w:5.2f}")

@@ -19,20 +19,22 @@ import audiosourcesep_tpu.nn as nn
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
 
 
-def scan_time_max(fn, x, iters=10, reps=3):
+def scan_time_max(fn, params, x, iters=10, reps=3):
+    # params enter the jit as an ARGUMENT — a closure would bake the
+    # weights into the HLO as constants (breaks remote compile; CLAUDE.md)
     @jax.jit
-    def loop(x0):
+    def loop(p, x0):
         def body(carry, _):
-            y = fn(carry)
+            y = fn(p, carry)
             return carry + (0.001 * jnp.max(y)).astype(carry.dtype), None
         out, _ = jax.lax.scan(body, x0, None, length=iters)
         return jnp.sum(out.astype(jnp.float32))
 
-    fence(loop(x))
+    fence(loop(params, x))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        fence(loop(x))
+        fence(loop(params, x))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
@@ -47,14 +49,14 @@ def main():
          ).astype(jnp.float32)
     idx = jnp.zeros((60,), jnp.int32)
 
-    def fwd(xx):
-        return model.apply(params, xx, idx)
+    def fwd(p, xx):
+        return model.apply(p, xx, idx)
 
     results = {}
     for label, enable in [("xla", False), ("winograd", True)]:
         nn.set_winograd(enable)
         try:
-            t = scan_time_max(fwd, x)
+            t = scan_time_max(fwd, params, x)
         finally:
             nn.set_winograd(False)
         results[label] = t
@@ -62,10 +64,10 @@ def main():
 
     # numerics: relative error of the winograd-routed forward
     nn.set_winograd(False)
-    y0 = jax.jit(fwd)(x).astype(jnp.float32)
+    y0 = jax.jit(fwd)(params, x).astype(jnp.float32)
     nn.set_winograd(True)
     try:
-        y1 = jax.jit(lambda z: model.apply(params, z, idx))(x)
+        y1 = jax.jit(lambda p, z: model.apply(p, z, idx))(params, x)
         y1 = y1.astype(jnp.float32)
     finally:
         nn.set_winograd(False)

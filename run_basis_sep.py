@@ -182,6 +182,11 @@ def main(args):
 
     # ---------------- models ----------------------------------------------
     mesh = make_mesh() if jax.device_count() > 1 else None
+    if args.winograd:
+        # route eligible 3x3 convs through the fused Winograd kernel for
+        # BOTH prior families (no-op off-TPU). Set before the first trace —
+        # traces are cached.
+        nn_mod.set_winograd(True)
     if args.model_type == "glow":
         rng, k_init = jax.random.split(rng)
         model, template = build_glow(
@@ -208,11 +213,6 @@ def main(args):
     else:
         compute_dtype = jnp.bfloat16 if args.compute_dtype == "bf16" \
             else None
-        if args.winograd:
-            # route eligible 3x3 convs through the fused Winograd kernel
-            # (2.25x fewer MXU FLOPs; no-op off-TPU). Set before the
-            # first trace — traces are cached.
-            nn_mod.set_winograd(True)
         model = get_score_model(args.version, args.data_shape,
                                 args.n_filters, int(args.num_classes),
                                 sigmas=sigmas,
