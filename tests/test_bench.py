@@ -20,6 +20,18 @@ class TestBenchSmoke:
         assert out["metric"] == "basis_separation_1min_mix_wallclock"
         assert out["value"] > 0 and out["vs_baseline"] > 0
 
+    def test_project_v5e8_tiny(self, capsys, monkeypatch):
+        sys.path.insert(0, ".")
+        from benchmarks import project_v5e8 as pv
+        monkeypatch.setattr(pv, "T", 1)
+        monkeypatch.setattr(pv, "NUM_CLASSES", 2)
+        monkeypatch.setattr(pv, "N_FILTERS", 4)
+        pv.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["metric"] == "basis_separation_1min_mix_v5e8_projection"
+        assert out["per_chip_frames"] == 4 and out["value"] > 0
+
     def test_bench_image_basis_tiny(self):
         sys.path.insert(0, ".")
         from benchmarks import bench_image_basis as bib
