@@ -46,6 +46,25 @@ T = 100
 
 def main():
     t_start = time.time()
+
+    # The TPU tunnel can wedge for hours with backend init blocking on an
+    # RPC (CLAUDE.md; observed 2026-08-17). Normal backend init is 2-12 s;
+    # if it hasn't completed in 900 s, fail legibly instead of hanging the
+    # caller forever. (Legitimate slow paths — 4-15 min first COMPILE —
+    # happen after this point and are not covered by the watchdog.)
+    import threading
+    backend_up = threading.Event()
+
+    def _watchdog():
+        if not backend_up.wait(timeout=900):
+            print(json.dumps({
+                "metric": "basis_separation_1min_mix_wallclock",
+                "error": "backend init exceeded 900s (TPU tunnel wedged)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     sigmas = get_sigmas(1.0, 0.01, NUM_CLASSES, "logarithmic")
     # bf16 on the MXU (norm stats stay f32): the TPU-native compute dtype
     model = get_score_model("v1", DATA_SHAPE, N_FILTERS, NUM_CLASSES,
@@ -53,6 +72,7 @@ def main():
 
     k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
     fence(k0)
+    backend_up.set()
     t_backend = time.time() - t_start   # device init + first tiny compile
     p1 = model.init_params(k0)
     p2 = model.init_params(k1)
