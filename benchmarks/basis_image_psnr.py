@@ -40,6 +40,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEVICE = "cpu"
 
 
+LOG_DIR = None   # set by main(); child stdout/stderr stream here
+
+
 def run(script, *args, env_extra=None):
     env = dict(os.environ)
     if DEVICE == "cpu":
@@ -49,11 +52,20 @@ def run(script, *args, env_extra=None):
     else:
         env.pop("JAX_PLATFORMS", None)   # the real accelerator
     env.update(env_extra or {})
-    r = subprocess.run([sys.executable, os.path.join(REPO, script), *args],
-                      cwd=REPO, env=env, capture_output=True, text=True)
+    # stream child output to a per-step log (these steps run for hours at
+    # full scale; buffering in memory hides all progress)
+    log_path = os.path.join(LOG_DIR or "/tmp",
+                            os.path.basename(script) + ".log")
+    with open(log_path, "a") as log:
+        log.write(f"\n==== {script} {' '.join(args)}\n")
+        log.flush()
+        r = subprocess.run([sys.executable, os.path.join(REPO, script),
+                            *args], cwd=REPO, env=env, stdout=log,
+                           stderr=subprocess.STDOUT, text=True)
     if r.returncode != 0:
-        sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-3000:] + "\n")
-        raise SystemExit(f"{script} failed")
+        with open(log_path) as log:
+            sys.stderr.write(log.read()[-4000:] + "\n")
+        raise SystemExit(f"{script} failed (full log: {log_path})")
     return r
 
 
@@ -98,6 +110,8 @@ def main():
 
     w = os.path.abspath(args.workdir)
     os.makedirs(w, exist_ok=True)
+    global LOG_DIR
+    LOG_DIR = w
     if args.prior == "glow":
         # adamax 1e-3 (reference default) explodes on the first step at
         # this scale (see quality_glow_mnist.sh); 1e-4 trains monotonically
