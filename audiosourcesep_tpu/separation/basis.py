@@ -33,6 +33,21 @@ class BasisConfig(NamedTuple):
     data_type: str = "melspec"
     scale: str = "dB"
     collect_trajectory: bool = True
+    # Optional per-pixel score clip at +-score_clip/sigma. The ideal
+    # sigma-smoothed score is O(|x - mu|/sigma^2) ~ a few/sigma, but
+    # grad-through-flow scores (Glow priors) can blow past that scale
+    # off-manifold and explode the Langevin at large eta (measured: the
+    # K8/128f image Glow NaN'd within the first noise level). None = off
+    # (NCSN scores are architecturally tame; the reference has no analog
+    # because its glow branch never ran, run_basis_sep.py:386-390).
+    score_clip: Optional[float] = None
+
+
+def _clip_scores(scores: Array, sigma: Array, clip: Optional[float]):
+    if clip is None:
+        return scores
+    bound = jnp.asarray(clip, scores.dtype) / sigma.astype(scores.dtype)
+    return jnp.clip(scores, -bound, bound)
 
 
 def stack_pytrees(*trees):
@@ -132,7 +147,8 @@ def basis_separate_per_level(score_fn: Callable, params, mixed: Array,
         def step_body(x, k):
             noise = (jax.random.normal(k, x.shape, x.dtype)
                      * jnp.sqrt(2.0 * eta).astype(x.dtype))
-            scores = score_fn(params, x, labels, level)
+            scores = _clip_scores(score_fn(params, x, labels, level), sigma,
+                                  config.score_clip)
             recon = (lam.astype(x.dtype) * grad_g(x) * (mixed - g(x)))
             return x + eta.astype(x.dtype) * (scores + recon) + noise, None
 
@@ -191,7 +207,8 @@ def basis_separate(score_fn: Callable, mixed: Array, x_init: Array,
         def step_body(x, k):
             noise = (jax.random.normal(k, x.shape, x.dtype)
                      * jnp.sqrt(2.0 * eta).astype(x.dtype))
-            scores = score_fn(x, labels, level)
+            scores = _clip_scores(score_fn(x, labels, level), sigma,
+                                  config.score_clip)
             mixing = g(x)
             grads_mix = grad_g(x)
             recon = lam.astype(x.dtype) * grads_mix * (mixed - mixing)

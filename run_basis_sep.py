@@ -257,7 +257,8 @@ def main(args):
     # (run_basis_sep.py:239); here the flag/config value is honored
     cfg = BasisConfig(T=args.T, delta=getattr(args, "step_lr", 2e-5),
                       data_type=data_type,
-                      scale=args.scale, collect_trajectory=True)
+                      scale=args.scale, collect_trajectory=True,
+                      score_clip=getattr(args, "score_clip", None))
 
     def progress(level, x):
         print(f"Sigma = {sigmas[level]} ({level + 1} / {len(sigmas)}) done")
@@ -398,6 +399,13 @@ if __name__ == "__main__":
                              "span) — e.g. span 256 for images")
     parser.add_argument("--sigma1", type=float, default=1.0)
     parser.add_argument("--sigmaL", type=float, default=0.01)
+    parser.add_argument("--score_clip", type=float, default=None,
+                        help="clip per-pixel scores to +-score_clip/sigma "
+                             "(the ideal smoothed-score scale). Stability "
+                             "guard for grad-through-flow (Glow) priors, "
+                             "whose off-manifold gradients can explode "
+                             "the Langevin; off by default, no-op for the "
+                             "reference-parity NCSN paths")
     parser.add_argument("--num_classes", type=float, default=10)
     parser.add_argument("--progression", type=str, default="geometric")
     # model hyperparameters

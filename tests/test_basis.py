@@ -153,6 +153,31 @@ class TestPerLevelDispatch:
         np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
                                    rtol=2e-4, atol=2e-5)
 
+    def test_score_clip_tames_exploding_scores(self):
+        """score_clip bounds a pathological score at +-clip/sigma (the
+        smoothed-score scale); without it the same run diverges. Guards
+        the grad-through-flow (Glow) separation path."""
+        from audiosourcesep_tpu.separation import basis_separate_per_level
+        sigmas = get_sigmas(1.0, 0.1, 2)
+
+        def exploding_score(params, x, labels, level):
+            return jnp.full_like(x, 1e12)
+
+        mixed = jnp.full((2, 8, 8, 1), 0.5)
+        x0 = jnp.full((2, 2, 8, 8, 1), 0.5)
+        rng = jax.random.PRNGKey(30)
+        base = dict(T=3, delta=1e-2, data_type="image", scale="dB")
+        out_clip, _ = basis_separate_per_level(
+            exploding_score, (), mixed, x0, sigmas, rng,
+            BasisConfig(**base, score_clip=5.0))
+        out_raw, _ = basis_separate_per_level(
+            exploding_score, (), mixed, x0, sigmas, rng,
+            BasisConfig(**base))
+        assert bool(jnp.isfinite(out_clip).all())
+        # clipped drift per step is at most eta * (clip/sigma + recon)
+        assert float(jnp.max(jnp.abs(out_clip))) < 10.0
+        assert float(jnp.max(jnp.abs(out_raw))) > 1e6
+
     def test_callback_invoked(self):
         from audiosourcesep_tpu.separation import (basis_separate_per_level,
                                                    ncsn_score_fn)
