@@ -135,11 +135,17 @@ def main():
                 "--n_epochs", str(args.glow_epochs_per_sigma),
                 *glow_hp, *sig)
         sep = os.path.join(w, "basis_sep_glow")
+        # --score_clip: bound scores at the ideal smoothed-score scale
+        # (+-5/sigma). An under-fine-tuned sigma chain produces scores
+        # orders of magnitude above it and NaNs the Langevin in the first
+        # level (measured; see docs/DESIGN.md); for an adequately trained
+        # chain the clip is inactive.
         run("run_basis_sep.py", prior, prior, "--output", sep, "--debug",
             "--dataset", "mnist", "--model_type", "glow",
             "--L", str(args.glow_L), "--K", str(args.glow_K),
             "--n_filters", str(args.glow_filters), "--learntop",
             "--T", str(args.T), "--step_lr", str(2e-5 * SPAN * SPAN),
+            "--score_clip", "5.0",
             "--n_mixed", str(args.n_mixed), *sig)
     else:
         prior = os.path.join(w, "ncsn_image")
