@@ -101,6 +101,11 @@ def main():
                     help="base Glow training epochs (--prior glow)")
     ap.add_argument("--glow_epochs_per_sigma", type=int, default=10,
                     help="noisy-Glow fine-tune epochs per noise level")
+    ap.add_argument("--glow_batch", type=int, default=256,
+                    help="Glow train batch; smaller -> more optimizer "
+                         "steps per epoch on a small corpus (the sigma "
+                         "chain needs thousands of steps per level to "
+                         "recalibrate, see docs/DESIGN.md)")
     ap.add_argument("--device", choices=["cpu", "native"], default="cpu",
                     help="cpu: force JAX_PLATFORMS=cpu in the child CLIs; "
                          "native: let them use the real accelerator")
@@ -118,7 +123,7 @@ def main():
         glow_hp = ["--L", str(args.glow_L), "--K", str(args.glow_K),
                    "--n_filters", str(args.glow_filters), "--learntop",
                    "--optimizer", "adamax", "--learning_rate", "0.0001",
-                   "--batch_size", "256"]
+                   "--batch_size", str(args.glow_batch)]
         sig = ["--sigma1", str(SPAN * 1.0), "--sigmaL", str(SPAN * 0.01),
                "--num_classes", "10", "--progression", "logarithmic"]
         base = os.path.join(w, "glow_image")
