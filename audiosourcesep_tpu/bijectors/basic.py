@@ -40,6 +40,11 @@ class ActNorm(Bijector):
             std = jnp.sqrt(jnp.var(x, axis=0)) + self.eps
         return {"log_scale": -jnp.log(std), "shift": -mean / std}
 
+    def reinit(self, params, x):
+        new = self.init_params(None, x)
+        y, _ = self.forward(new, x)
+        return new, y
+
     def forward(self, params, x, rng=None):
         y = x * jnp.exp(params["log_scale"]) + params["shift"]
         H, W = x.shape[1], x.shape[2]

@@ -65,6 +65,22 @@ class Bijector:
                 ) -> Tuple[Array, Array]:
         raise NotImplementedError
 
+    def reinit(self, params: Params, x: Array) -> Tuple[Params, Array]:
+        """Recompute data-dependent statistics against a new minibatch.
+
+        Mirrors :meth:`init`'s threading but keeps every TRAINED parameter,
+        replacing only data-dependent ones (ActNorm stats). Default: no
+        data-dependent state — forward ``x`` through the trained params.
+        Composites override to recurse. Motivation: a flow fine-tuned on
+        ``x + sigma * eps`` at large sigma sees activations far outside its
+        fitted range and its tanh-bounded coupling scales saturate
+        (measured: scores 1e8 x the smoothed-score scale, docs/DESIGN.md);
+        re-anchoring the ActNorm stats restores calibrated activations in
+        one cheap pass instead of thousands of optimizer steps.
+        """
+        y, _ = self.forward(params, x, None)
+        return params, y
+
     # -- conveniences ------------------------------------------------------
     def forward_log_det_jacobian(self, params: Params, x: Array,
                                  rng: Optional[Array] = None) -> Array:
@@ -119,6 +135,12 @@ class Chain(Bijector):
 
     def init_params(self, key, x):
         return self.init(key, x)[0]
+
+    def reinit(self, params, x):
+        out = dict(params)
+        for name, b in zip(self.names, self.bijectors):
+            out[name], x = b.reinit(params[name], x)
+        return out, x
 
     def forward(self, params, x, rng=None):
         total = jnp.zeros(x.shape[0], jnp.result_type(float))

@@ -77,6 +77,14 @@ class FlowModel:
         bij_params, z = self.bijector.init(kb, minibatch)
         return {"bijector": bij_params, "prior": self.prior.init_params(kp)}
 
+    def reinit_data_dependent(self, params, minibatch: Array):
+        """Re-anchor data-dependent stats (ActNorm) on ``minibatch``,
+        keeping all trained weights. Used by the noisy-Glow chain to
+        recalibrate each sigma level's flow to its noised input
+        distribution (see Bijector.reinit)."""
+        bij, _ = self.bijector.reinit(params["bijector"], minibatch)
+        return {"bijector": bij, "prior": params["prior"]}
+
     def log_prob(self, params, x: Array, rng: Optional[Array] = None) -> Array:
         z, fldj = self.bijector.forward(params["bijector"], x, rng)
         return self.prior.log_prob(params["prior"], z) + fldj

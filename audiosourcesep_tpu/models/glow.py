@@ -88,6 +88,23 @@ class GlowMultiScale(Bijector):
     def init_params(self, key, x):
         return self.init(key, x)[0]
 
+    def reinit(self, params, x):
+        """Recompute ActNorm data-dependent stats (same threading as
+        :meth:`init`, trained params elsewhere)."""
+        N, H, W, _ = x.shape
+        bh, bw = H // 2 ** self.L, W // 2 ** self.L
+        out = dict(params)
+        zs = []
+        h = x
+        for l, block in enumerate(self.blocks):
+            out[f"block{l+1}"], o = block.reinit(params[f"block{l+1}"], h)
+            if l < self.L - 1:
+                z, h = jnp.split(o, 2, axis=-1)
+                zs.append(z.reshape(N, bh, bw, -1))
+            else:
+                zs.append(o)
+        return out, jnp.concatenate(zs, axis=-1)
+
     # -- forward / inverse -------------------------------------------------
     def forward(self, params, x, rng=None):
         N, H, W, _ = x.shape

@@ -136,7 +136,7 @@ def main():
                 prior, f"sigma_{round(SPAN * 0.01, 2)}", "ckpts",
                 "checkpoint.json")):
             run("train_noisy_glow.py", base, "--dataset", "mnist",
-                "--output", prior, "--debug",
+                "--output", prior, "--debug", "--reinit_actnorm",
                 "--n_epochs", str(args.glow_epochs_per_sigma),
                 *glow_hp, *sig)
         sep = os.path.join(w, "basis_sep_glow")

@@ -60,7 +60,7 @@ EOF
     fi
     if [ ! -f "$R/noisy_glow_$inst/sigma_1.2/ckpts/checkpoint.json" ]; then
         python train_noisy_glow.py $R/glow_$inst --dataset $R/${inst}_ds \
-            --output $R/noisy_glow_$inst --debug \
+            --output $R/noisy_glow_$inst --debug --reinit_actnorm \
             --n_epochs $SIGMA_EPOCHS $GLOW_HP $SIG
     fi
 done
@@ -74,7 +74,8 @@ cp $SONG/gt2.wav $R/song/violin.wav
 python run_basis_sep.py $R/noisy_glow_piano $R/noisy_glow_violin \
     --output $R/basis --debug --dataset melspec --song_dir $R/song \
     --model_type glow --scale dB --n_mixed 28 --T 100 \
-    --step_lr 0.288 $SIG --L 3 --K 40 --n_filters 512 --learntop
+    --step_lr 0.288 --score_clip 5.0 \
+    $SIG --L 3 --K 40 --n_filters 512 --learntop
 
 # ---- inversion + SDR (same protocol as quality_sdr_beethoven.sh) ---------
 python melspec_inversion_basis.py $R/basis --debug \

@@ -252,6 +252,38 @@ class TestFlowModel:
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_manual),
                                    rtol=1e-5)
 
+    def test_reinit_data_dependent_reanchors_actnorm_only(self):
+        """reinit recomputes ONLY ActNorm stats against the new minibatch,
+        keeps every trained weight, and preserves exact invertibility —
+        the noisy-Glow recalibration pass (trainers.train_noisy_glow_chain
+        reinit_actnorm; measured rationale in docs/DESIGN.md)."""
+        model = self._model(False)
+        x = rand(19, (8, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(13), x)
+        x_shift = x * 50.0 + 20.0     # far outside the fitted range
+        p2 = model.reinit_data_dependent(params, x_shift)
+        # actnorm leaves re-anchored: post-actnorm stats normalised again
+        an = model.bijector.names[0]
+        y, _ = ActNorm().forward(p2["bijector"][an], x_shift)
+        np.testing.assert_allclose(np.asarray(jnp.mean(y, axis=(0, 1, 2))),
+                                   0.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.std(y, axis=(0, 1, 2))),
+                                   1.0, atol=1e-3)
+        # every non-actnorm leaf untouched
+        cp = model.bijector.names[1]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            params["bijector"][cp], p2["bijector"][cp])
+        # still an exact bijection with the re-anchored params
+        z, fldj = model.bijector.forward(p2["bijector"], x_shift)
+        back, ildj = model.bijector.inverse(p2["bijector"], z)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x_shift),
+                                   rtol=1e-4, atol=1e-3)
+        # protocol: inverse also returns the FORWARD log-det
+        np.testing.assert_allclose(np.asarray(fldj), np.asarray(ildj),
+                                   rtol=1e-5)
+
     def test_score_matches_finite_difference(self):
         model = self._model(False)
         x = rand(18, (2, 4, 4, 1))

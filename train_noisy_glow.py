@@ -52,7 +52,8 @@ def main(args):
         model, params, sigmas, data["ds_train"], data["ds_test"],
         optimizer_name=args.optimizer, learning_rate=args.learning_rate,
         n_epochs_per_sigma=args.n_epochs, batch_size=args.batch_size,
-        output_dir=".", restore_path=restore_dir, rng=rng, mesh=mesh)
+        output_dir=".", restore_path=restore_dir, rng=rng, mesh=mesh,
+        reinit_actnorm=getattr(args, "reinit_actnorm", False))
     print(f"Noise-conditioned checkpoints: {dirs}")
     if getattr(args, "multihost", False):
         # orderly multi-process teardown: a process exiting while peers are
@@ -92,6 +93,12 @@ if __name__ == "__main__":
     parser.add_argument("--optimizer", type=str, default="adamax")
     parser.add_argument("--learning_rate", type=float, default=0.001)
     # preprocessing
+    parser.add_argument("--reinit_actnorm", action="store_true",
+                        help="re-anchor ActNorm data-dependent stats on a "
+                             "sigma-noised minibatch before each level's "
+                             "fine-tune (extension beyond the reference: "
+                             "restores score calibration at large sigma "
+                             "in one pass; see trainers.py)")
     parser.add_argument("--use_logit", action="store_true")
     parser.add_argument("--alpha", type=float, default=None)
     cli.add_multihost_flags(parser)
