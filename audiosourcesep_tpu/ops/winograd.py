@@ -319,7 +319,7 @@ winograd_conv2d.defvjp(_wino_fwd, _wino_bwd)
 # ---------------------------------------------------------------------------
 
 def dilated_eligible(x_shape, kernel_shape, stride: int = 1,
-                     dilation: int = 1) -> bool:
+                     dilation: int = 1, itemsize: int = 2) -> bool:
     """A dilation-d 3x3 SAME conv splits exactly into d*d independent
     stride-1 3x3 convs on the d-subsampled phase grids (the reference's
     cascade uses d in {2, 4}; score_network.py:121-178). Eligible when
@@ -336,7 +336,9 @@ def dilated_eligible(x_shape, kernel_shape, stride: int = 1,
         return False
     phase = (x_shape[0] * dilation * dilation, h // dilation,
              w // dilation, cin)
-    return winograd_eligible(phase, kernel_shape)
+    # thread the true element width: judging the VMEM fit at the bf16
+    # default would approve f32 convs the kernel then rejects at trace time
+    return winograd_eligible(phase, kernel_shape, itemsize=itemsize)
 
 
 def dilated_winograd_conv2d(x: jax.Array, kernel: jax.Array, dilation: int,

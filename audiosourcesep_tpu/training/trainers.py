@@ -135,7 +135,8 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
                            restore_path: Optional[str] = None,
                            rng: Optional[jax.Array] = None,
                            mesh=None,
-                           reinit_actnorm: bool = False):
+                           reinit_actnorm: bool = False,
+                           reinit_minibatch=None):
     """Serially fine-tune a Glow model at each noise level.
 
     For each sigma (descending): restore the previous level's weights,
@@ -198,8 +199,21 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
             state, _ = mgr.restore_latest(state, strict=False)
             print(f"Restored previous level weights from {prev_ckpt_dir}")
         if reinit_actnorm:
-            nb = jnp.asarray(next(iter(_NoisyView(ds_train, sigma,
-                                                  3000 + li))))
+            # the re-anchor stats must be identical on every process: under
+            # --multihost ds_train is the per-host shard with a per-host
+            # shuffle, so drawing from it would give each host different
+            # ActNorm params inside an SPMD step that declares them
+            # replicated. Prefer the caller-supplied host-consistent
+            # minibatch (resolve_dataset's `minibatch` is sliced from the
+            # full set before host sharding); the noise is seeded per level
+            # and therefore host-consistent either way.
+            if reinit_minibatch is not None:
+                clean = np.asarray(reinit_minibatch)
+                noise = np.random.RandomState(3000 + li).randn(*clean.shape)
+                nb = jnp.asarray(clean + float(sigma) * noise, jnp.float32)
+            else:
+                nb = jnp.asarray(next(iter(_NoisyView(ds_train, sigma,
+                                                      3000 + li))))
             state = dict(state,
                          params=model.reinit_data_dependent(state["params"],
                                                             nb))

@@ -20,14 +20,44 @@ def fence(tree) -> None:
     of each output buffer to the host is the only dependable fence — the
     fetch cannot complete until the producing program has.
     """
+    def _get_one(arr) -> None:
+        el = arr.ravel()[:1]
+        if jnp.issubdtype(el.dtype, jnp.complexfloating):
+            # complex device->host transfers are unsupported on this
+            # backend; fetching the real part fences just as well
+            el = el.real
+        jax.device_get(el)
+
     for leaf in jax.tree_util.tree_leaves(tree):
-        if hasattr(leaf, "ravel"):
-            el = leaf.ravel()[:1]
-            if jnp.issubdtype(el.dtype, jnp.complexfloating):
-                # complex device->host transfers are unsupported on this
-                # backend; fetching the real part fences just as well
-                el = el.real
-            jax.device_get(el)
+        if hasattr(leaf, "addressable_shards"):
+            # sharded output: one element of element-0 only waits for the
+            # device holding that shard — fetch one element PER shard so
+            # every device's stream is drained before we return
+            for shard in leaf.addressable_shards:
+                _get_one(shard.data)
+        elif hasattr(leaf, "ravel"):
+            _get_one(leaf)
+
+
+def steady_state(run, *args, reps: int = 2):
+    """Shared benchmark harness: time ``run(*args)`` once for the
+    first-call cost (compile + first execution through the remote
+    backend), then return the best of ``reps`` further calls as the
+    steady-state time.
+
+    ``run`` must fence its own outputs (call :func:`fence` on them) —
+    otherwise the timings under-read (CLAUDE.md timing rules). Returns
+    ``(first_s, steady_s, last_output)``.
+    """
+    t0 = time.time()
+    out = run(*args)
+    first = time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = run(*args)
+        best = min(best, time.time() - t0)
+    return first, best, out
 
 
 def enable_compilation_cache() -> None:

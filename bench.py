@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
-from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+from audiosourcesep_tpu.utils.profiling import (enable_compilation_cache,
+                                                fence, steady_state)
 
 # persistent compilation cache: the first XLA compile of the separation
 # program costs ~10 min through this backend; cache it across processes
@@ -109,18 +110,10 @@ def main():
         fence(out)   # block_until_ready is unreliable here; see fence()
         return out
 
-    # compile (excluded: one-time cost, amortised in production serving)
-    t_compile = time.time()
-    run(k4)
-    compile_and_first = time.time() - t_compile
-
+    # compile excluded (one-time cost, amortised in production serving);
     # steady state: best of 2 (per-run variance through the remote tunnel
     # is ~2%; best-of reflects the device's sustained rate)
-    elapsed = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        out = run(k4)
-        elapsed = min(elapsed, time.time() - t0)
+    compile_and_first, elapsed, out = steady_state(run, k4)
 
     assert bool(jnp.isfinite(out).all()), "non-finite separation output"
 

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+from audiosourcesep_tpu.utils.profiling import (enable_compilation_cache,
+                                                fence, steady_state)
 
 enable_compilation_cache()
 
@@ -70,16 +71,8 @@ def time_variant(use_winograd: bool, n_mixed: int, T: int, dtype):
             fence(out)
             return out
 
-        t0 = time.time()
-        out = run(k4)
-        first = time.time() - t0
+        first, best, out = steady_state(run, k4)
         assert bool(jnp.isfinite(out).all())
-
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run(k4)
-            best = min(best, time.time() - t0)
         return first, best
     finally:
         nn_mod.set_winograd(False)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
-from audiosourcesep_tpu.utils.profiling import enable_compilation_cache, fence
+from audiosourcesep_tpu.utils.profiling import (enable_compilation_cache,
+                                                fence, steady_state)
 
 enable_compilation_cache()
 from audiosourcesep_tpu.separation import (BasisConfig,
@@ -67,14 +68,7 @@ def main():
         fence(out)
         return out
 
-    t0 = time.time()
-    run(k4)
-    first = time.time() - t0
-    elapsed = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        out = run(k4)
-        elapsed = min(elapsed, time.time() - t0)
+    first, elapsed, out = steady_state(run, k4)
     assert bool(jnp.isfinite(out).all())
 
     # per-chip FLOPs at the shard size (7.728 TFLOP per 1-model forward

@@ -220,6 +220,47 @@ class TestLoopAndChain:
             assert mgr.latest() is not None
 
 
+    def test_reinit_minibatch_is_host_consistent(self, tmp_path, monkeypatch):
+        """With reinit_minibatch supplied, the ActNorm re-anchor batch must
+        not depend on the (per-host sharded, per-host shuffled) ds_train:
+        two chains fed DIFFERENT train shards but the same reinit_minibatch
+        must re-anchor on identical batches (else --multihost replicas
+        silently diverge)."""
+        model = toy_flow()
+        key = jax.random.PRNGKey(18)
+        X = jax.random.normal(key, (16, 4, 4, 1))
+        params = model.init(jax.random.PRNGKey(19), X)
+        mb = np.asarray(X[:8])
+        sigmas = get_sigmas(1.0, 0.1, 2)
+
+        captured = {}
+        orig = model.reinit_data_dependent
+
+        def run_chain(tag, shard, out):
+            captured[tag] = []
+
+            def spy(p, nb):
+                captured[tag].append(np.asarray(nb))
+                return orig(p, nb)
+
+            monkeypatch.setattr(model, "reinit_data_dependent", spy)
+            # the train step donates state buffers; give each chain its
+            # own copy of the initial params
+            train_noisy_glow_chain(
+                model, jax.tree_util.tree_map(jnp.copy, params), sigmas,
+                ArrayDataset(np.asarray(shard), 8),
+                ArrayDataset(np.asarray(X[:8]), 8),
+                n_epochs_per_sigma=1, batch_size=8, output_dir=str(out),
+                rng=jax.random.PRNGKey(20), reinit_actnorm=True,
+                reinit_minibatch=mb)
+
+        run_chain("host0", X[0::2], tmp_path / "h0")   # different shards,
+        run_chain("host1", X[1::2], tmp_path / "h1")   # same minibatch
+        assert len(captured["host0"]) == len(sigmas)
+        for a, b in zip(captured["host0"], captured["host1"]):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestMiscTrainUtils:
     def test_plot_to_image_and_grid(self):
         from audiosourcesep_tpu.training import image_grid, plot_to_image

@@ -84,6 +84,40 @@ class TestProfiling:
                 "c": 3.0}
         fence(tree)   # must not raise
 
+    def test_fence_touches_every_shard(self, monkeypatch):
+        """On a mesh-sharded output, fetching one element only waits for
+        the device that holds it; fence must fetch per shard so EVERY
+        device's stream is drained before timing code reads the clock."""
+        import jax.sharding as shd
+
+        from audiosourcesep_tpu.parallel import make_mesh
+        from audiosourcesep_tpu.utils import profiling
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        x = jnp.arange(8 * 4.0).reshape(8, 4)
+        x = jax.device_put(x, shd.NamedSharding(
+            mesh, shd.PartitionSpec("data")))
+        fetched = []
+        real_get = jax.device_get
+        monkeypatch.setattr(profiling.jax, "device_get",
+                            lambda a: fetched.append(a) or real_get(a))
+        profiling.fence(x)
+        assert len(fetched) == n_dev
+
+    def test_steady_state_harness(self):
+        from audiosourcesep_tpu.utils.profiling import steady_state
+        calls = []
+
+        def run(v):
+            calls.append(v)
+            return v * 2
+
+        first, best, out = steady_state(run, 21, reps=3)
+        assert calls == [21] * 4          # 1 first call + 3 reps
+        assert out == 42
+        assert first >= 0 and best >= 0
+
 
 class TestParallelHelpers:
     def test_pad_to_multiple(self):

@@ -82,6 +82,13 @@ class TestDilatedPhases:
         # phase grid must stay even
         assert not dilated_eligible((60, 42, 32, 384), (3, 3, 384, 384),
                                     dilation=2)
+        # VMEM fit must be judged at the true element width: this shape
+        # fits the tile budget at bf16 but not at f32 — approving it at
+        # the bf16 default would trip the kernel's trace-time assert
+        assert dilated_eligible((8, 32, 32, 512), (3, 3, 512, 512),
+                                dilation=2, itemsize=2)
+        assert not dilated_eligible((8, 32, 32, 512), (3, 3, 512, 512),
+                                    dilation=2, itemsize=4)
 
 
 class TestEligibility:

@@ -53,7 +53,8 @@ def main(args):
         optimizer_name=args.optimizer, learning_rate=args.learning_rate,
         n_epochs_per_sigma=args.n_epochs, batch_size=args.batch_size,
         output_dir=".", restore_path=restore_dir, rng=rng, mesh=mesh,
-        reinit_actnorm=getattr(args, "reinit_actnorm", False))
+        reinit_actnorm=getattr(args, "reinit_actnorm", False),
+        reinit_minibatch=data["minibatch"])
     print(f"Noise-conditioned checkpoints: {dirs}")
     if getattr(args, "multihost", False):
         # orderly multi-process teardown: a process exiting while peers are
