@@ -169,10 +169,20 @@ class VariationalDequant(Bijector):
     """Flow-based variational dequantisation (flow_flowpp.py:149-186).
 
     forward: sample ``eps ~ N(0,1)``, transform through a context-conditioned
-    Flow++ block (context = shallow conv processing of the data), and add to
-    ``x``; the reported log-det is ``logdet(flow) - log N(eps)``, so the
-    composed ``log_prob`` is exactly the Flow++ variational dequantisation
-    lower bound. Requires ``rng`` in forward.
+    Flow++ block (context = shallow conv processing of the data), squash to
+    ``u in (0, 1)`` with a sigmoid, and add to ``x``; the reported log-det is
+    ``logdet(flow) + logdet(sigmoid) - log N(eps)``, so the composed
+    ``log_prob`` is exactly the Flow++ variational dequantisation lower
+    bound. Requires ``rng`` in forward.
+
+    The sigmoid squash is the original Flow++ design (Ho et al. 2019: the
+    dequantisation noise lives inside the quantisation bin, ``x + u in
+    [x, x+1]``); the reference's untested dequant omits it
+    (flow_flowpp.py:165-177, raw flow output added to x), which lets the
+    dequantised input leave ``[0, 256]`` and NaN the downstream
+    ``ImgPreprocessing`` logit — measured: an unsquashed tiny Flow++ NLL
+    descent emits ``u ~ -43`` and NaNs after ~50 adam steps
+    (tests/test_flowpp.py trains through this point).
     """
 
     name = "variational_dequant"
@@ -212,8 +222,12 @@ class VariationalDequant(Bijector):
         eps = jax.random.normal(rng, x.shape, x.dtype)
         log_det_eps = jnp.sum(-0.5 * (jnp.square(eps) + _LOG_2PI),
                               axis=(1, 2, 3))
-        u, ld = self.block.forward(params["block"], eps, context=context)
-        return x + u, ld - log_det_eps
+        v, ld = self.block.forward(params["block"], eps, context=context)
+        u = jax.nn.sigmoid(v)
+        # d sigmoid(v)/dv = sigmoid(v) * sigmoid(-v)
+        ld_sig = jnp.sum(jax.nn.log_sigmoid(v) + jax.nn.log_sigmoid(-v),
+                         axis=(1, 2, 3))
+        return x + u, ld + ld_sig - log_det_eps
 
     def inverse(self, params, y, rng=None):
         # dequantisation is not exactly invertible; drop the noise (the

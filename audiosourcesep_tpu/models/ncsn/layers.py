@@ -156,10 +156,6 @@ class ResidualBlock:
         self.dilation = dilation
         self.act = act
         self.norm1 = make_normalizer(input_dim, num_classes)
-        if resample == "down":
-            mid = input_dim
-        else:
-            mid = output_dim if dilation is None else output_dim
         self.norm2 = make_normalizer(
             input_dim if resample == "down" else output_dim, num_classes)
 

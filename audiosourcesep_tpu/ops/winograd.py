@@ -319,11 +319,14 @@ winograd_conv2d.defvjp(_wino_fwd, _wino_bwd)
 # ---------------------------------------------------------------------------
 
 def dilated_eligible(x_shape, kernel_shape, stride: int = 1,
-                     dilation: int = 1, itemsize: int = 2) -> bool:
+                     dilation: int = 1, *, itemsize: int) -> bool:
     """A dilation-d 3x3 SAME conv splits exactly into d*d independent
     stride-1 3x3 convs on the d-subsampled phase grids (the reference's
     cascade uses d in {2, 4}; score_network.py:121-178). Eligible when
-    the phase grid itself is Winograd-eligible.
+    the phase grid itself is Winograd-eligible. ``itemsize`` is required
+    (no bf16 default): the VMEM fit must be judged at the width the
+    kernel will actually run, so callers state it explicitly (derive it
+    from the input as ``jnp.dtype(x.dtype).itemsize``, as nn.py does).
 
     NOTE: nn.conv2d does NOT route dilated convs here — measured on the
     cascade's shapes, XLA's dilated conv runs at 175-200 TF/s and the

@@ -12,7 +12,7 @@ import datetime
 import io
 import os
 import shutil
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
@@ -25,12 +25,23 @@ import yaml
 # ---------------------------------------------------------------------------
 
 def setup_optimizer(optimizer: str = "adam",
-                    learning_rate: float = 1e-3) -> optax.GradientTransformation:
+                    learning_rate: float = 1e-3,
+                    clipnorm: Optional[float] = None
+                    ) -> optax.GradientTransformation:
+    """adam/adamax (reference train_utils.py:23-41) with an optional
+    global-norm gradient clip prepended — the reference has no clipping,
+    but Flow++-style models diverge without it (measured: a tiny Flow++
+    NLL descent NaNs after ~50 adam steps at lr 1e-3; clipnorm=1
+    stabilises it, tests/test_flowpp.py)."""
     if optimizer == "adam":
-        return optax.adam(learning_rate)
-    if optimizer == "adamax":
-        return optax.adamax(learning_rate)
-    raise ValueError("optimizer argument should be adam or adamax")
+        opt = optax.adam(learning_rate)
+    elif optimizer == "adamax":
+        opt = optax.adamax(learning_rate)
+    else:
+        raise ValueError("optimizer argument should be adam or adamax")
+    if clipnorm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(clipnorm), opt)
+    return opt
 
 
 def ema_update(ema_params: Any, params: Any, decay: float = 0.99) -> Any:
@@ -76,7 +87,9 @@ def setup_tensorboard(log_root: str = "tensorboard_logs",
         test_w = SummaryWriter(os.path.join(log_root, "gradient_tape",
                                             stamp, "test"))
         return train_w, test_w
-    except Exception:
+    except Exception as e:  # pragma: no cover - depends on install
+        print(f"WARNING: tensorboardX unavailable ({e!r}); "
+              "summaries disabled (NullWriter)", flush=True)
         return _NullWriter(), _NullWriter()
 
 

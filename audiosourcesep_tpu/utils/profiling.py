@@ -32,9 +32,18 @@ def fence(tree) -> None:
         if hasattr(leaf, "addressable_shards"):
             # sharded output: one element of element-0 only waits for the
             # device holding that shard — fetch one element PER shard so
-            # every device's stream is drained before we return
+            # every device's stream is drained before we return. A
+            # zero-size shard (uneven sharding) has nothing to fetch and
+            # an empty fetch need not block on that device's stream, so
+            # skip it and fall back to block_until_ready for the leaf.
+            fetched_all = True
             for shard in leaf.addressable_shards:
-                _get_one(shard.data)
+                if shard.data.size:
+                    _get_one(shard.data)
+                else:
+                    fetched_all = False
+            if not fetched_all:
+                jax.block_until_ready(leaf)
         elif hasattr(leaf, "ravel"):
             _get_one(leaf)
 

@@ -21,7 +21,6 @@ Usage: python benchmarks/project_v5e8.py  (on the accelerator)
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

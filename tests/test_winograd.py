@@ -74,17 +74,18 @@ class TestDilatedPhases:
         from audiosourcesep_tpu.ops.winograd import dilated_eligible
         # the cascade's dilated convs (score_network.py:121-178)
         assert dilated_eligible((60, 48, 32, 384), (3, 3, 384, 384),
-                                dilation=2)
+                                dilation=2, itemsize=2)
         assert dilated_eligible((60, 48, 32, 384), (3, 3, 384, 384),
-                                dilation=4)
+                                dilation=4, itemsize=2)
         assert not dilated_eligible((60, 48, 32, 384), (3, 3, 384, 384),
-                                    dilation=1)
+                                    dilation=1, itemsize=2)
         # phase grid must stay even
         assert not dilated_eligible((60, 42, 32, 384), (3, 3, 384, 384),
-                                    dilation=2)
-        # VMEM fit must be judged at the true element width: this shape
-        # fits the tile budget at bf16 but not at f32 — approving it at
-        # the bf16 default would trip the kernel's trace-time assert
+                                    dilation=2, itemsize=2)
+        # itemsize is required so VMEM fit is always judged at the true
+        # element width: this shape fits the tile budget at bf16 but not
+        # at f32 — a bf16 default would approve the f32 conv and trip
+        # the kernel's trace-time assert
         assert dilated_eligible((8, 32, 32, 512), (3, 3, 512, 512),
                                 dilation=2, itemsize=2)
         assert not dilated_eligible((8, 32, 32, 512), (3, 3, 512, 512),
