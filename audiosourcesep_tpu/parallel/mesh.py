@@ -17,12 +17,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SOURCE_AXIS = "source"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis_name: str = DATA_AXIS) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_source_mesh(n_sources: int = 2,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D mesh ``(source, data)`` for source-sharded BASIS separation.
+
+    Round-4 scaling measurement (docs/DESIGN.md): pure frame sharding
+    collapses per-chip MFU once the per-apply conv batch drops below ~8
+    (v5e-8 = 4 frames/chip = MFU 0.251 vs 0.618 at 8). Sharding the
+    SOURCE axis too keeps every chip at one model x twice the frames —
+    the efficient operating point — at the cost of one tiny per-step
+    all-reduce for the mixing softmax (the iterate is ~KBs over ICI).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % n_sources:
+        raise ValueError(f"{n} devices not divisible by {n_sources} sources")
+    arr = np.array(devices).reshape(n_sources, n // n_sources)
+    return Mesh(arr, (SOURCE_AXIS, DATA_AXIS))
+
+
+def source_sharding(mesh: Mesh) -> NamedSharding:
+    """x [K, N, ...]: source axis over SOURCE_AXIS, frames over DATA_AXIS."""
+    return NamedSharding(mesh, P(SOURCE_AXIS, DATA_AXIS))
+
+
+def params_by_source(params: Any, mesh: Mesh) -> Any:
+    """Stacked per-source params [K, ...]: each chip row holds ONE model."""
+    s = NamedSharding(mesh, P(SOURCE_AXIS))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), params)
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:

@@ -102,6 +102,50 @@ def ncsn_score_fn(model_apply: Callable, n_sources: int = 2,
     return score
 
 
+def source_sharded_ncsn_score(model_apply: Callable, mesh) -> Callable:
+    """NCSN score over a 2-D ``(source, data)`` mesh: each chip holds ONE
+    model's params and evaluates it on its frame shard as a PLAIN conv
+    stack at the full local batch.
+
+    Motivation (round-4 scaling measurement, docs/DESIGN.md): frame-only
+    sharding starves the per-apply conv batch on large pods (v5e-8 = 4
+    frames/chip drops chip MFU 0.674 -> 0.251). With the source axis also
+    sharded, a v5e-8 runs 1 model x ~8 frames per chip — the measured
+    efficient point — and the only cross-chip traffic left in the anneal
+    is the mixing softmax/logsumexp over the K=2 source axis (a ~KB-scale
+    all-reduce per Langevin step, inserted by XLA from the global
+    ``mixing_process`` math, riding ICI).
+
+    ``shard_map`` (not GSPMD hints) so the per-chip lowering is
+    guaranteed: the local eval is an ordinary un-grouped conv program —
+    the partitioner cannot fall back to the grouped/batched-weight conv
+    lowerings that measured 25-50%% slower (benchmarks/profile_grouped.py).
+
+    Use with params device_put by :func:`parallel.params_by_source` and
+    ``x`` by :func:`parallel.source_sharding`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS, SOURCE_AXIS
+
+    def local_eval(params, x, sigma_idx):
+        # local views: params [1, ...] (one model), x [1, n_local, ...]
+        p = jax.tree_util.tree_map(lambda a: a[0], params)
+        return model_apply(p, x[0], sigma_idx)[None]
+
+    smap = shard_map(local_eval, mesh=mesh,
+                     in_specs=(P(SOURCE_AXIS), P(SOURCE_AXIS, DATA_AXIS),
+                               P(DATA_AXIS)),
+                     out_specs=P(SOURCE_AXIS, DATA_AXIS))
+
+    def score(params, x: Array, sigma_idx: Array, level: Array) -> Array:
+        del level
+        return smap(params, x, sigma_idx)
+
+    return score
+
+
 def glow_score_fn(log_prob_fn: Callable) -> Callable:
     """Parameter-explicit Glow score with per-level param stacks
     ``[L, K, ...]``: ``score(params, x, sigma_idx, level)``."""

@@ -129,6 +129,7 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
                            ds_train, ds_test, *,
                            optimizer_name: str = "adamax",
                            learning_rate: float = 1e-3,
+                           clipnorm=None,
                            n_epochs_per_sigma: int = 20,
                            batch_size: int = 32,
                            output_dir: str = ".",
@@ -157,7 +158,8 @@ def train_noisy_glow_chain(model: FlowModel, init_params, sigmas,
     from .loop import LoopConfig, run_training
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    optimizer = setup_optimizer(optimizer_name, learning_rate)
+    optimizer = setup_optimizer(optimizer_name, learning_rate,
+                                clipnorm=clipnorm)
     params = init_params
     prev_ckpt_dir = restore_path
     save_dirs = {}

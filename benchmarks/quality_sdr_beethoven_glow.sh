@@ -17,8 +17,14 @@
 # Data caveat: identical to quality_sdr_beethoven.sh — the priors train on
 # the mix's own stems (first 48 s), the best achievable data scale here.
 #
-# Learning rate: adamax 1e-3 (config default) explodes at step 1 on this
-# data scale (see quality_glow_mnist.sh); 1e-4 trains stably.
+# Learning rate: adamax 1e-3 — the config default and the recipe that
+# reached -43 bits/dim on this same 8x-overlap piano split in round 2
+# (quality_glow_piano.sh). A 1e-4 attempt (round 4) never recovered from
+# an epoch-126 loss jump (train stuck ~1.7e3 nats, val diverged to 1e24);
+# the image-scale "1e-4 for stability" finding (quality_glow_mnist.sh)
+# does NOT transfer to the dB melspec scale. --clipnorm 1000 guards the
+# jump excursions themselves (generous: typical healthy grad norms here
+# are O(1e2); the reference only snapshots on jumps, train_glow.py:127-140).
 #
 # Usage: bash benchmarks/quality_sdr_beethoven_glow.sh /path/workdir \
 #            [base_epochs] [epochs_per_sigma]
@@ -29,7 +35,7 @@ EPOCHS=${2:-600}
 SIGMA_EPOCHS=${3:-20}
 SONG=/root/reference/basis_sep_results/beethoven_sonata_1_sep_1min
 GLOW_HP="--L 3 --K 40 --n_filters 512 --learntop --optimizer adamax
-         --learning_rate 0.0001 --batch_size 32 --scale dB"
+         --learning_rate 0.001 --clipnorm 1000 --batch_size 32 --scale dB"
 SIG="--sigma1 120.0 --sigmaL 1.2 --num_classes 10 --progression logarithmic"
 
 # ---- per-instrument datasets (same split recipe as the NCSN runners) ----

@@ -24,12 +24,15 @@ from audiosourcesep_tpu.data import get_mixture_toydata, get_song_extract, write
 from audiosourcesep_tpu.models import build_glow
 from audiosourcesep_tpu.models.ncsn import get_score_model, get_sigmas
 from audiosourcesep_tpu.ops import db_to_power, mel_to_audio
-from audiosourcesep_tpu.parallel import (make_mesh, pad_to_multiple,
-                                         replicate, shard_batch)
+from audiosourcesep_tpu.parallel import (make_mesh, make_source_mesh,
+                                         pad_to_multiple, params_by_source,
+                                         replicate, shard_batch,
+                                         source_sharding)
 from audiosourcesep_tpu.separation import (BasisConfig,
                                            basis_separate_per_level,
                                            glow_score_fn, ncsn_score_fn,
                                            postprocess, preprocess_mixture,
+                                           source_sharded_ncsn_score,
                                            stack_pytrees)
 from audiosourcesep_tpu.utils.profiling import fence
 from audiosourcesep_tpu.training import (CheckpointManager, restore_pytree,
@@ -181,7 +184,21 @@ def main(args):
     print(f"Data Loaded in {round(time.time() - t0, 3)} seconds")
 
     # ---------------- models ----------------------------------------------
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    # --shard_sources: 2-D (source, frame) mesh — each chip holds ONE
+    # model and 2x the frames, keeping the per-apply conv batch in the
+    # MXU's efficient range on large pods (measured scaling cliff at
+    # <8 frames/apply, docs/DESIGN.md round-4 table). NCSN priors only.
+    shard_sources = (args.shard_sources and args.model_type == "ncsn"
+                     and jax.device_count() > 1
+                     and jax.device_count() % 2 == 0)
+    if args.shard_sources and not shard_sources:
+        print("--shard_sources ignored (needs NCSN priors and an even "
+              "device count > 1)")
+    mesh = None
+    if shard_sources:
+        mesh = make_source_mesh(2)
+    elif jax.device_count() > 1:
+        mesh = make_mesh()
     if args.winograd:
         # route eligible 3x3 convs through the fused Winograd kernel for
         # BOTH prior families (no-op off-TPU). Set before the first trace —
@@ -227,9 +244,13 @@ def main(args):
         print(f"Model 2 restored from {abs_restore_2}"
               + (" (EMA weights)" if args.ema else ""))
         stacked = stack_pytrees(p1, p2)
-        if mesh is not None:
-            stacked = replicate(stacked, mesh)
-        score_fn = ncsn_score_fn(model.apply)
+        if shard_sources:
+            stacked = params_by_source(stacked, mesh)
+            score_fn = source_sharded_ncsn_score(model.apply, mesh)
+        else:
+            if mesh is not None:
+                stacked = replicate(stacked, mesh)
+            score_fn = ncsn_score_fn(model.apply)
 
     cli.print_params(args, train_writer)
 
@@ -238,10 +259,12 @@ def main(args):
     mixed_dev = jnp.asarray(mixed)
     n_frames = x_init.shape[1]
     if mesh is not None:
-        # pad the frame batch to a device-count multiple (separation is
-        # frame-independent; padding frames are dropped afterwards)
-        n_dev = mesh.devices.size
-        padded = pad_to_multiple(n_frames, n_dev)
+        # pad the frame batch to a multiple of the mesh's frame axis
+        # (separation is frame-independent; padding frames are dropped
+        # afterwards). Source-sharded mesh: frame axis = devices/2.
+        n_frame_dev = (mesh.devices.shape[1] if shard_sources
+                       else mesh.devices.size)
+        padded = pad_to_multiple(n_frames, n_frame_dev)
         if padded != n_frames:
             extra = padded - n_frames
             x_init = jnp.pad(
@@ -250,7 +273,10 @@ def main(args):
             mixed_dev = jnp.pad(
                 mixed_dev, [(0, extra)] + [(0, 0)] * (mixed_dev.ndim - 1),
                 mode="wrap")
-        x_init = shard_batch(x_init, mesh, batch_axis=1)
+        if shard_sources:
+            x_init = jax.device_put(x_init, source_sharding(mesh))
+        else:
+            x_init = shard_batch(x_init, mesh, batch_axis=1)
         mixed_dev = shard_batch(mixed_dev, mesh, batch_axis=0)
 
     # reference hardcodes delta=2e-5 even when the config carries step_lr
@@ -380,6 +406,14 @@ if __name__ == "__main__":
                              "than the FLOP saving. Off by default "
                              "everywhere; kept for re-evaluation on "
                              "other models/hardware.")
+    parser.add_argument("--shard_sources", action="store_true",
+                        help="2-D (source, frame) mesh: each chip holds "
+                             "ONE prior and 2x the frames. Keeps the "
+                             "per-apply conv batch in the MXU-efficient "
+                             "range on pods where frame-only sharding "
+                             "starves it (measured cliff below ~8 "
+                             "frames/apply, docs/DESIGN.md). NCSN priors, "
+                             "even device counts only")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)

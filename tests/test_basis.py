@@ -8,11 +8,15 @@ import numpy as np
 
 from audiosourcesep_tpu.models.ncsn import RefineNetDilated, get_sigmas
 from audiosourcesep_tpu.parallel import (batch_sharding, make_mesh,
-                                         replicate, shard_batch)
+                                         make_source_mesh, params_by_source,
+                                         replicate, shard_batch,
+                                         source_sharding)
 from audiosourcesep_tpu.separation import (BasisConfig, basis_separate,
                                            make_stacked_ncsn_score,
                                            mixing_process, postprocess,
-                                           preprocess_mixture, stack_pytrees)
+                                           preprocess_mixture,
+                                           source_sharded_ncsn_score,
+                                           stack_pytrees)
 
 
 class TestMixing:
@@ -124,6 +128,41 @@ class TestMultiChip:
         out, _ = jax.jit(
             lambda m, x: basis_separate(score_s, m, x, sigmas, rng, cfg)
         )(mixed_s, x0_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_source_sharded_matches_single_device(self):
+        """(source, frame) 2-D mesh path == unsharded math.
+
+        The source-sharded layout (one model per chip row, shard_map'd
+        plain-conv score eval, mixing softmax all-reduced by XLA) must be
+        numerically the sequential/stacked computation; rng draws are over
+        the logical arrays so noise matches bit-for-bit."""
+        from audiosourcesep_tpu.separation import (basis_separate_per_level,
+                                                   ncsn_score_fn)
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+        sigmas = get_sigmas(1.0, 0.1, 2)
+        model = RefineNetDilated((8, 8, 1), 4, num_classes=2)
+        p1 = model.init_params(jax.random.PRNGKey(14))
+        p2 = model.init_params(jax.random.PRNGKey(15))
+        stacked = stack_pytrees(p1, p2)
+        mixed = jax.random.normal(jax.random.PRNGKey(16), (8, 8, 8, 1))
+        x0 = jax.random.uniform(jax.random.PRNGKey(17), (2, 8, 8, 8, 1))
+        rng = jax.random.PRNGKey(18)
+        cfg = BasisConfig(T=2, delta=1e-4, collect_trajectory=False)
+
+        ref, _ = basis_separate_per_level(
+            ncsn_score_fn(model.apply), stacked, mixed, x0, sigmas, rng,
+            cfg)
+
+        mesh = make_source_mesh(2)
+        assert mesh.devices.shape == (2, 4)
+        x0_s = jax.device_put(x0, source_sharding(mesh))
+        mixed_s = shard_batch(mixed, mesh, batch_axis=0)
+        params_s = params_by_source(stacked, mesh)
+        score_s = source_sharded_ncsn_score(model.apply, mesh)
+        out, _ = basis_separate_per_level(score_s, params_s, mixed_s,
+                                          x0_s, sigmas, rng, cfg)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
 

@@ -48,7 +48,8 @@ def main(args):
     print(f"Total Trainable Variables: "
           f"{total_trainable_variables(params):,}")
 
-    optimizer = setup_optimizer(args.optimizer, args.learning_rate)
+    optimizer = setup_optimizer(args.optimizer, args.learning_rate,
+                                clipnorm=getattr(args, "clipnorm", None))
     state = init_train_state(params, optimizer)
 
     mesh = make_mesh_for_batch(args.batch_size)
@@ -147,6 +148,11 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--optimizer", type=str, default="adamax")
     parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--clipnorm", type=float, default=None,
+                        help="optional global-norm gradient clip "
+                             "(extension; the reference has none — "
+                             "guards the loss-jump excursions its "
+                             "detector only snapshots)")
     # preprocessing
     parser.add_argument("--use_logit", action="store_true")
     parser.add_argument("--alpha", type=float, default=None)

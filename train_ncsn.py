@@ -64,7 +64,8 @@ def main(args):
     print(f"Total Trainable Variables: "
           f"{total_trainable_variables(params):,}")
 
-    optimizer = setup_optimizer(args.optimizer, args.learning_rate)
+    optimizer = setup_optimizer(args.optimizer, args.learning_rate,
+                                clipnorm=getattr(args, "clipnorm", None))
     state = init_train_state(params, optimizer, ema=args.ema)
     mesh = make_mesh_for_batch(args.batch_size)
     if mesh is not None:
@@ -154,6 +155,8 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--optimizer", type=str, default="adam")
     parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--clipnorm", type=float, default=None,
+                        help="optional global-norm gradient clip")
     # preprocessing
     parser.add_argument("--use_logit", action="store_true")
     parser.add_argument("--alpha", type=float, default=None)

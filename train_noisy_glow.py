@@ -51,6 +51,7 @@ def main(args):
     dirs = train_noisy_glow_chain(
         model, params, sigmas, data["ds_train"], data["ds_test"],
         optimizer_name=args.optimizer, learning_rate=args.learning_rate,
+        clipnorm=getattr(args, "clipnorm", None),
         n_epochs_per_sigma=args.n_epochs, batch_size=args.batch_size,
         output_dir=".", restore_path=restore_dir, rng=rng, mesh=mesh,
         reinit_actnorm=getattr(args, "reinit_actnorm", False),
@@ -93,6 +94,8 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--optimizer", type=str, default="adamax")
     parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--clipnorm", type=float, default=None,
+                        help="optional global-norm gradient clip")
     # preprocessing
     parser.add_argument("--reinit_actnorm", action="store_true",
                         help="re-anchor ActNorm data-dependent stats on a "
