@@ -49,10 +49,10 @@ EOF
 done
 
 # ---- hyperparameter techniques (1, 2&4) on the piano corpus --------------
-if [ ! -f "$R/piano_ds/train/max_norm.txt" ]; then
+if [ ! -f "$R/piano_ds/max_norm.txt" ]; then
     JAX_PLATFORMS=cpu python technique1_ncsnv2.py $R/piano_ds
 fi
-cat $R/piano_ds/train/max_norm.txt
+cat $R/piano_ds/max_norm.txt
 JAX_PLATFORMS=cpu python technique2and4_ncsnv2.py --D 96,64,1 --T 8 \
     --sigma1 30. --sigmaL 0.01 | tee $R/technique2and4.txt
 

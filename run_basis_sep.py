@@ -286,10 +286,17 @@ def main(args):
                       scale=args.scale, collect_trajectory=True,
                       score_clip=getattr(args, "score_clip", None))
 
+    # At the reference's L=10 every level renders a TB snapshot (reference
+    # run_basis_sep.py:247-255, snap_every=1 below). At NCSNv2's L=200 the
+    # per-level matplotlib render would burn minutes of host time between
+    # dispatches, so snapshots keep ~10-per-run density; the per-level
+    # "Sigma = ..." out.log line is unchanged at any L.
+    snap_every = max(1, len(sigmas) // 10)
+
     def progress(level, x):
         print(f"Sigma = {sigmas[level]} ({level + 1} / {len(sigmas)}) done")
-        # per-level component snapshots to TensorBoard (reference
-        # run_basis_sep.py:247-255)
+        if (level + 1) % snap_every and (level + 1) != len(sigmas):
+            return
         try:
             from audiosourcesep_tpu.training import plot_to_image
             import matplotlib.pyplot as plt
