@@ -186,15 +186,14 @@ def load_toydata(dataset: str = "mnist", batch_size: int = 256,
     elif dataset == "cifar10":
         npz = (data_dir or os.environ.get("ASR_CIFAR10_NPZ")
                or os.path.expanduser("~/.keras/datasets/cifar10.npz"))
-        if os.path.exists(npz):
-            with np.load(npz) as d:
-                x_train, x_test = d["x_train"], d["x_test"]
-        else:
-            # falls back to the Keras cache (~/.keras/datasets); build the
-            # npz from the standard python-pickle batches with
-            # scripts/build_cifar10_cache.py when offline
-            from tensorflow.keras.datasets import cifar10  # cached-only
-            (x_train, _), (x_test, _) = cifar10.load_data()
+        if not os.path.exists(npz):
+            raise FileNotFoundError(
+                f"CIFAR-10 cache not found at {npz}; build it from the "
+                "standard python-pickle batches with "
+                "scripts/build_cifar10_cache.py (no network access, and "
+                "this repo is TF-free — no Keras fallback)")
+        with np.load(npz) as d:
+            x_train, x_test = d["x_train"], d["x_test"]
     else:
         raise ValueError("dataset should be mnist or cifar10")
 

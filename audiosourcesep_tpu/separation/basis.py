@@ -129,6 +129,8 @@ def source_sharded_ncsn_score(model_apply: Callable, mesh) -> Callable:
 
     from ..parallel import DATA_AXIS, SOURCE_AXIS
 
+    n_mesh_sources = mesh.shape[SOURCE_AXIS]
+
     def local_eval(params, x, sigma_idx):
         # local views: params [1, ...] (one model), x [1, n_local, ...]
         p = jax.tree_util.tree_map(lambda a: a[0], params)
@@ -141,6 +143,16 @@ def source_sharded_ncsn_score(model_apply: Callable, mesh) -> Callable:
 
     def score(params, x: Array, sigma_idx: Array, level: Array) -> Array:
         del level
+        # local_eval indexes p[0]/x[0]: only valid when the mesh source
+        # axis exactly matches the stacked leading dim (local shard = 1);
+        # any mismatch would silently evaluate the wrong model/source.
+        lead = {leaf.shape[0] for leaf in jax.tree_util.tree_leaves(params)}
+        if lead != {n_mesh_sources} or x.shape[0] != n_mesh_sources:
+            raise ValueError(
+                f"source-sharded score: mesh '{SOURCE_AXIS}' axis has size "
+                f"{n_mesh_sources} but the stacked params lead with "
+                f"{sorted(lead)} and x with {x.shape[0]}; these must all "
+                "match so each chip holds exactly one model/source")
         return smap(params, x, sigma_idx)
 
     return score

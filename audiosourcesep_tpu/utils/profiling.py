@@ -36,6 +36,14 @@ def fence(tree) -> None:
             # zero-size shard (uneven sharding) has nothing to fetch and
             # an empty fetch need not block on that device's stream, so
             # skip it and fall back to block_until_ready for the leaf.
+            # CAVEAT: block_until_ready is the primitive this fence exists
+            # to work around (it can return early on the remote backend),
+            # so for leaves with zero-size shards the fence is only as
+            # strong as bur — timings over unevenly-sharded outputs may
+            # under-read. Prefer even shardings (wrap-padding) when the
+            # fence matters; there is no device-targeted dummy fetch that
+            # is ordered after the producing program on this backend
+            # (transfers ride a separate stream).
             fetched_all = True
             for shard in leaf.addressable_shards:
                 if shard.data.size:

@@ -29,11 +29,15 @@ from audiosourcesep_tpu.utils.profiling import (enable_compilation_cache,
 # persistent compilation cache: the first XLA compile of the separation
 # program costs ~10 min through this backend; cache it across processes
 enable_compilation_cache()
-from audiosourcesep_tpu.parallel import (make_mesh, pad_to_multiple,
-                                         replicate, shard_batch)
+from audiosourcesep_tpu.parallel import (make_mesh, make_source_mesh,
+                                         pad_to_multiple, params_by_source,
+                                         replicate, shard_batch,
+                                         source_sharding)
 from audiosourcesep_tpu.separation import (BasisConfig,
                                            basis_separate_per_level,
-                                           ncsn_score_fn, stack_pytrees)
+                                           ncsn_score_fn,
+                                           source_sharded_ncsn_score,
+                                           stack_pytrees)
 
 BASELINE_SECONDS = 1411.5  # basis_sep_results/beethoven_sonata_1_sep_1min
 
@@ -84,11 +88,19 @@ def main():
     mixed = jax.random.normal(k2, (N_FRAMES, *DATA_SHAPE)) * 0.2 + 0.5
     x_init = jax.random.uniform(k3, (2, N_FRAMES, *DATA_SHAPE))
 
-    # multi-chip: shard the frame batch over all devices (pad to multiple)
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    # multi-chip: the recommended pod layout is the 2-D (source, frame)
+    # mesh — each chip holds ONE model's params and runs a plain conv
+    # stack on its frame shard (docs/DESIGN.md scaling table: frame-only
+    # sharding starves the per-apply batch on large pods). Falls back to
+    # frame-only sharding on odd device counts.
+    n_dev_total = jax.device_count()
+    shard_sources = n_dev_total > 1 and n_dev_total % 2 == 0
+    mesh = (make_source_mesh(2) if shard_sources
+            else make_mesh() if n_dev_total > 1 else None)
     if mesh is not None:
-        n_dev = mesh.devices.size
-        padded = pad_to_multiple(N_FRAMES, n_dev)
+        n_frame_dev = (mesh.devices.shape[1] if shard_sources
+                       else mesh.devices.size)
+        padded = pad_to_multiple(N_FRAMES, n_frame_dev)
         if padded != N_FRAMES:
             pad = padded - N_FRAMES
             mixed = jnp.pad(mixed, [(0, pad), (0, 0), (0, 0), (0, 0)],
@@ -97,12 +109,17 @@ def main():
                              [(0, 0), (0, pad), (0, 0), (0, 0), (0, 0)],
                              mode="wrap")
         mixed = shard_batch(mixed, mesh, batch_axis=0)
-        x_init = shard_batch(x_init, mesh, batch_axis=1)
-        stacked = replicate(stacked, mesh)
+        if shard_sources:
+            x_init = jax.device_put(x_init, source_sharding(mesh))
+            stacked = params_by_source(stacked, mesh)
+        else:
+            x_init = shard_batch(x_init, mesh, batch_axis=1)
+            stacked = replicate(stacked, mesh)
 
     cfg = BasisConfig(T=T, delta=2e-5, data_type="melspec", scale="dB",
                       collect_trajectory=False)
-    score = ncsn_score_fn(model.apply)
+    score = (source_sharded_ncsn_score(model.apply, mesh) if shard_sources
+             else ncsn_score_fn(model.apply))
 
     def run(key):
         out, _ = basis_separate_per_level(score, stacked, mixed, x_init,

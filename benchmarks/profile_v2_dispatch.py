@@ -66,12 +66,16 @@ def main():
     print(f"# per-level: first={first_pl:.1f}s steady={t_pl:.3f}s",
           file=sys.stderr)
 
-    score_st = make_stacked_ncsn_score(model.apply, stacked)
-    fused = jax.jit(lambda m, x, k: basis_separate(score_st, m, x, sigmas,
-                                                   k, cfg)[0])
+    # params enter as a jit ARGUMENT (a closure would bake 2x the model
+    # into the HLO as constants — breaks remote compile, CLAUDE.md)
+    def _fused(params, m, x, k):
+        score_st = make_stacked_ncsn_score(model.apply, params)
+        return basis_separate(score_st, m, x, sigmas, k, cfg)[0]
+
+    fused = jax.jit(_fused)
 
     def run_fused(key):
-        out = fused(mixed, x_init, key)
+        out = fused(stacked, mixed, x_init, key)
         fence(out)
         return out
 

@@ -32,6 +32,31 @@ class TestBenchSmoke:
         assert out["metric"] == "basis_separation_1min_mix_v5e8_projection"
         assert out["per_chip_frames"] == 4 and out["value"] > 0
 
+    def test_profile_v2_dispatch_tiny(self, capsys, monkeypatch):
+        sys.path.insert(0, ".")
+        from benchmarks import profile_v2_dispatch as pvd
+        monkeypatch.setattr(pvd, "T", 1)
+        monkeypatch.setattr(pvd, "NUM_CLASSES", 3)
+        monkeypatch.setattr(pvd, "N_FILTERS", 4)
+        monkeypatch.setattr(pvd, "N_FRAMES", 2)
+        pvd.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["metric"] == "ncsnv2_L200_T8_anneal"
+        assert out["per_level_s"] > 0 and out["fused_s"] > 0
+
+    def test_project_source_sharded_tiny(self, capsys, monkeypatch):
+        sys.path.insert(0, ".")
+        from benchmarks import project_source_sharded as pss
+        monkeypatch.setattr(pss, "T", 1)
+        monkeypatch.setattr(pss, "NUM_CLASSES", 2)
+        monkeypatch.setattr(pss, "N_FILTERS", 4)
+        pss.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["metric"] == "basis_sep_source_sharded_v5e8_projection"
+        assert out["frames_per_chip"] == 8 and out["value"] > 0
+
     def test_bench_image_basis_tiny(self):
         sys.path.insert(0, ".")
         from benchmarks import bench_image_basis as bib
