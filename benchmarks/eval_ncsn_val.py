@@ -59,8 +59,11 @@ def main():
 
     sigmas = get_sigmas(args.sigma1, args.sigmaL, args.num_classes,
                         args.progression)
-    model = get_score_model(args.version, X.shape[1:], args.n_filters,
-                            args.num_classes, sigmas=None)
+    # v1 conditions on the class index, v2 on the sigma values themselves
+    # (output divided by sigma[y], refinenet.py:140-143)
+    model = get_score_model(
+        args.version, X.shape[1:], args.n_filters, args.num_classes,
+        sigmas=jnp.asarray(sigmas) if args.version == "v2" else None)
     template = model.init_params(jax.random.PRNGKey(0))
     params = restore_ncsn_params(args.run_dir, template, ema=args.ema)
 
