@@ -158,6 +158,60 @@ def source_sharded_ncsn_score(model_apply: Callable, mesh) -> Callable:
     return score
 
 
+def source_sharded_glow_score(log_prob_fn: Callable, mesh) -> Callable:
+    """Glow score over a 2-D ``(source, data)`` mesh: each chip holds ONE
+    source's per-noise-level param stack and differentiates its own flow
+    on its frame shard.
+
+    Takes the SOURCE-major stack ``[K, L_sigma, ...]`` (vs
+    :func:`glow_score_fn`'s level-major ``[L_sigma, K, ...]``) so each
+    source's whole sigma chain is one contiguous leading-axis slice on its
+    chip row: sharding it halves per-chip prior HBM (the sigma-stacked
+    512-filter production flow is ~2.1 GB replicated, docs/DESIGN.md) and
+    the local eval lowers as one flow's PLAIN grad program — no
+    batched-weight fallbacks, same rationale as
+    :func:`source_sharded_ncsn_score`. The only cross-chip traffic left in
+    the anneal is the mixing logsumexp/softmax all-reduce XLA inserts from
+    the global mixing math.
+
+    Use with params device_put by :func:`parallel.params_by_source` and
+    ``x`` by :func:`parallel.source_sharding`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS, SOURCE_AXIS
+
+    n_mesh_sources = mesh.shape[SOURCE_AXIS]
+
+    def local_eval(params, x, level):
+        # local views: params [1, L_sigma, ...] (one source's sigma chain),
+        # x [1, n_local, ...]
+        p = jax.tree_util.tree_map(lambda a: a[0][level], params)
+        score = jax.grad(lambda v: jnp.sum(log_prob_fn(p, v)))(x[0])
+        return score[None]
+
+    smap = shard_map(local_eval, mesh=mesh,
+                     in_specs=(P(SOURCE_AXIS), P(SOURCE_AXIS, DATA_AXIS),
+                               P()),
+                     out_specs=P(SOURCE_AXIS, DATA_AXIS))
+
+    def score(params, x: Array, sigma_idx: Array, level: Array) -> Array:
+        del sigma_idx
+        # same invariant as source_sharded_ncsn_score: local_eval indexes
+        # p[0]/x[0], valid only when every chip row holds exactly one source
+        lead = {leaf.shape[0] for leaf in jax.tree_util.tree_leaves(params)}
+        if lead != {n_mesh_sources} or x.shape[0] != n_mesh_sources:
+            raise ValueError(
+                f"source-sharded glow score: mesh '{SOURCE_AXIS}' axis has "
+                f"size {n_mesh_sources} but the stacked params lead with "
+                f"{sorted(lead)} and x with {x.shape[0]}; these must all "
+                "match so each chip holds exactly one source's sigma chain")
+        return smap(params, x, jnp.asarray(level))
+
+    return score
+
+
 def glow_score_fn(log_prob_fn: Callable) -> Callable:
     """Parameter-explicit Glow score with per-level param stacks
     ``[L, K, ...]``: ``score(params, x, sigma_idx, level)``."""

@@ -32,6 +32,7 @@ from audiosourcesep_tpu.separation import (BasisConfig,
                                            basis_separate_per_level,
                                            glow_score_fn, ncsn_score_fn,
                                            postprocess, preprocess_mixture,
+                                           source_sharded_glow_score,
                                            source_sharded_ncsn_score,
                                            stack_pytrees)
 from audiosourcesep_tpu.utils.profiling import fence
@@ -187,13 +188,13 @@ def main(args):
     # --shard_sources: 2-D (source, frame) mesh — each chip holds ONE
     # model and 2x the frames, keeping the per-apply conv batch in the
     # MXU's efficient range on large pods (measured scaling cliff at
-    # <8 frames/apply, docs/DESIGN.md round-4 table). NCSN priors only.
-    shard_sources = (args.shard_sources and args.model_type == "ncsn"
-                     and jax.device_count() > 1
+    # <8 frames/apply, docs/DESIGN.md round-4 table). For Glow priors it
+    # additionally halves per-chip HBM: each chip row holds one source's
+    # sigma-stacked param chain instead of a replica of both.
+    shard_sources = (args.shard_sources and jax.device_count() > 1
                      and jax.device_count() % 2 == 0)
     if args.shard_sources and not shard_sources:
-        print("--shard_sources ignored (needs NCSN priors and an even "
-              "device count > 1)")
+        print("--shard_sources ignored (needs an even device count > 1)")
     mesh = None
     if shard_sources:
         mesh = make_source_mesh(2)
@@ -212,8 +213,8 @@ def main(args):
             learntop=args.learntop, data_type=data_type,
             use_logit=args.use_logit, alpha=alpha,
             minval=minval, maxval=maxval)
-        # pre-stack per-noise-level params for both models: [L_sigma, 2, ...]
-        per_level = []
+        # restore the per-noise-level params for both models
+        raw_levels = []   # [(p_source1, p_source2), ...] per sigma
         for sigma in sigmas:
             level_params = []
             for root in (abs_restore_1, abs_restore_2):
@@ -222,11 +223,22 @@ def main(args):
                 p = restore_ncsn_params(d, template)
                 level_params.append(p)
                 print(f"Model at noise level {sigma} restored from {d}")
-            per_level.append(stack_pytrees(*level_params))
-        stacked = stack_pytrees(*per_level)
-        if mesh is not None:
-            stacked = replicate(stacked, mesh)
-        score_fn = glow_score_fn(model.log_prob)
+            raw_levels.append(level_params)
+        if shard_sources:
+            # source-major stack [2, L_sigma, ...]: each chip row holds
+            # one source's whole sigma chain (half the replicated HBM)
+            stacked = stack_pytrees(*[
+                stack_pytrees(*[lvl[k] for lvl in raw_levels])
+                for k in range(2)])
+            stacked = params_by_source(stacked, mesh)
+            score_fn = source_sharded_glow_score(model.log_prob, mesh)
+        else:
+            # level-major stack [L_sigma, 2, ...], indexed on-device
+            stacked = stack_pytrees(*[stack_pytrees(*lvl)
+                                      for lvl in raw_levels])
+            if mesh is not None:
+                stacked = replicate(stacked, mesh)
+            score_fn = glow_score_fn(model.log_prob)
     else:
         compute_dtype = jnp.bfloat16 if args.compute_dtype == "bf16" \
             else None
@@ -419,8 +431,10 @@ if __name__ == "__main__":
                              "per-apply conv batch in the MXU-efficient "
                              "range on pods where frame-only sharding "
                              "starves it (measured cliff below ~8 "
-                             "frames/apply, docs/DESIGN.md). NCSN priors, "
-                             "even device counts only")
+                             "frames/apply, docs/DESIGN.md); for Glow "
+                             "priors also halves per-chip HBM (one "
+                             "source's sigma chain per chip row). Even "
+                             "device counts only")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)

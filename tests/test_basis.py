@@ -166,6 +166,56 @@ class TestMultiChip:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
 
+    def test_source_sharded_glow_matches_single_device(self):
+        """Glow-prior (source, frame) mesh path == unsharded math.
+
+        Each chip row holds ONE source's sigma-stacked flow params and
+        grads through its own flow on its frame shard; the level index is
+        a replicated scalar selected inside the shard. Must equal the
+        level-major glow_score_fn path bit-closely."""
+        from audiosourcesep_tpu.models import build_glow
+        from audiosourcesep_tpu.separation import (
+            basis_separate_per_level, glow_score_fn,
+            source_sharded_glow_score)
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+        minibatch = jax.random.normal(
+            jax.random.PRNGKey(30), (16, 8, 8, 1)) * 20.0 - 60.0
+        model, p_a = build_glow(jax.random.PRNGKey(31), minibatch,
+                                (8, 8, 1), L=2, K=2, n_filters=8,
+                                learntop=True, data_type="melspec",
+                                minval=-100.0, maxval=20.0)
+        _, p_b = build_glow(jax.random.PRNGKey(32), minibatch,
+                            (8, 8, 1), L=2, K=2, n_filters=8,
+                            learntop=True, data_type="melspec",
+                            minval=-100.0, maxval=20.0)
+        sigmas = get_sigmas(1.0, 0.1, 2)
+        mixed = jax.random.normal(jax.random.PRNGKey(33), (8, 8, 8, 1))
+        x0 = (jax.random.uniform(jax.random.PRNGKey(34), (2, 8, 8, 8, 1))
+              * 120.0 - 100.0)
+        rng = jax.random.PRNGKey(35)
+        cfg = BasisConfig(T=2, delta=1e-4, collect_trajectory=False,
+                          score_clip=5.0)
+
+        # level-major [L_sigma, K, ...] reference (same params each level)
+        level_major = stack_pytrees(*[stack_pytrees(p_a, p_b)
+                                      for _ in sigmas])
+        ref, _ = basis_separate_per_level(
+            glow_score_fn(model.log_prob), level_major, mixed, x0, sigmas,
+            rng, cfg)
+
+        # source-major [K, L_sigma, ...] sharded run
+        mesh = make_source_mesh(2)
+        source_major = stack_pytrees(
+            *[stack_pytrees(*[p for _ in sigmas]) for p in (p_a, p_b)])
+        params_s = params_by_source(source_major, mesh)
+        x0_s = jax.device_put(x0, source_sharding(mesh))
+        mixed_s = shard_batch(mixed, mesh, batch_axis=0)
+        score_s = source_sharded_glow_score(model.log_prob, mesh)
+        out, _ = basis_separate_per_level(score_s, params_s, mixed_s,
+                                          x0_s, sigmas, rng, cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
 
 class TestPerLevelDispatch:
     def test_matches_single_program(self):
