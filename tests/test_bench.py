@@ -57,6 +57,29 @@ class TestBenchSmoke:
         assert out["metric"] == "basis_sep_source_sharded_v5e8_projection"
         assert out["frames_per_chip"] == 8 and out["value"] > 0
 
+    def test_quality_flowpp_digits_tiny(self, capsys, monkeypatch,
+                                        tmp_path):
+        sys.path.insert(0, ".")
+        # tiny synthetic cache so the script runs without the digits cache
+        rs = np.random.RandomState(0)
+        path = str(tmp_path / "mnist.npz")
+        np.savez(path,
+                 x_train=rs.randint(0, 256, (32, 28, 28)).astype(np.uint8),
+                 x_test=rs.randint(0, 256, (8, 28, 28)).astype(np.uint8))
+        monkeypatch.setenv("ASR_MNIST_NPZ", path)
+        from benchmarks import quality_flowpp_digits as qf
+        monkeypatch.setattr(qf, "BATCH", 8)
+        monkeypatch.setattr(qf, "N_COMPONENTS", 2)
+        monkeypatch.setattr(qf, "N_BLOCKS_FLOW", 1)
+        monkeypatch.setattr(qf, "N_BLOCKS_DEQUANT", 1)
+        monkeypatch.setattr(qf, "FILTERS", 8)
+        monkeypatch.setattr(qf, "EVAL_DRAWS", 1)
+        qf.main(n_epochs=1)
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["metric"] == "flowpp_bits_dim_digits_cache"
+        assert np.isfinite(out["value"])
+
     def test_bench_image_basis_tiny(self):
         sys.path.insert(0, ".")
         from benchmarks import bench_image_basis as bib
