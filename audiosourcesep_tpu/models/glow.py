@@ -55,12 +55,24 @@ class GlowMultiScale(Bijector):
                        for l in range(L)]
 
     def _block_forward(self, l, params, h, rng):
-        fwd = self.blocks[l].forward
+        block = self.blocks[l]
         if self.remat:
-            fwd = jax.checkpoint(
-                lambda p, x: self.blocks[l].forward(p, x, None))
-            return fwd(params, h)
-        return fwd(params, h, rng)
+            # Per-STEP rematerialisation. Checkpointing the whole K-step
+            # block is useless under grad: the block's backward recompute
+            # still materialises every step's coupling-net activations at
+            # once (measured 18.0 vs 18.1 GiB temps at the production
+            # 512-filter/K=40 separation scale,
+            # benchmarks/probe_glow_sep_memory.py). Saving only each
+            # step's input instead bounds the backward working set to a
+            # single step's residuals plus K tiny inter-step iterates.
+            total = jnp.zeros(h.shape[0], jnp.result_type(float))
+            for name, b in zip(block.names, block.bijectors):
+                fwd = jax.checkpoint(
+                    lambda p, x, f=b.forward: f(p, x, None))
+                h, fldj = fwd(params[name], h)
+                total = total + fldj
+            return h, total
+        return block.forward(params, h, rng)
 
     def base_event_shape(self, data_shape):
         H, W, C = data_shape

@@ -212,9 +212,23 @@ def source_sharded_glow_score(log_prob_fn: Callable, mesh) -> Callable:
     return score
 
 
-def glow_score_fn(log_prob_fn: Callable) -> Callable:
+def glow_score_fn(log_prob_fn: Callable,
+                  frame_chunk: Optional[int] = None) -> Callable:
     """Parameter-explicit Glow score with per-level param stacks
-    ``[L, K, ...]``: ``score(params, x, sigma_idx, level)``."""
+    ``[L, K, ...]``: ``score(params, x, sigma_idx, level)``.
+
+    ``frame_chunk`` bounds the VJP working set: ``grad_x log_prob``
+    through the flow stores every coupling-net activation, which at the
+    production separation scale (512 filters, L=3/K=40, 28 frames x 2
+    sources) is ~18 GiB of fp32 residuals — more than a v5e chip's HBM
+    (measured: benchmarks/probe_glow_sep_memory.py; per-step
+    ``jax.checkpoint`` does NOT recover it, XLA schedules the
+    rematerialised forwards eagerly). Chunking evaluates the grad over
+    ``frame_chunk`` frames at a time under ``lax.map`` — sequential by
+    construction, so peak residency scales with the chunk, while the
+    params (the HBM-heavy side) stay resident across chunks. Frames are
+    independent in BASIS, so the result is exact.
+    """
     def single_score(params, x):
         return jax.grad(lambda v: jnp.sum(log_prob_fn(params, v)))(x)
 
@@ -222,7 +236,16 @@ def glow_score_fn(log_prob_fn: Callable) -> Callable:
 
     def score(params, x: Array, sigma_idx: Array, level: Array) -> Array:
         params_l = jax.tree_util.tree_map(lambda p: p[level], params)
-        return vscore(params_l, x)
+        n = x.shape[1]
+        if not frame_chunk or n <= frame_chunk:
+            return vscore(params_l, x)
+        pad = (-n) % frame_chunk
+        xp = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+        xc = xp.reshape(x.shape[0], -1, frame_chunk, *x.shape[2:])
+        out = jax.lax.map(lambda xi: vscore(params_l, xi),
+                          jnp.moveaxis(xc, 1, 0))
+        out = jnp.moveaxis(out, 0, 1).reshape(x.shape[0], -1, *x.shape[2:])
+        return out[:, :n]
 
     return score
 

@@ -151,6 +151,9 @@ def main():
             "--n_filters", str(args.glow_filters), "--learntop",
             "--T", str(args.T), "--step_lr", str(2e-5 * SPAN * SPAN),
             "--score_clip", "5.0",
+            # full-batch VJP fits at 32x32 image scale (~3 GiB residuals);
+            # the melspec-scale --score_chunk default would only serialise
+            "--score_chunk", "0",
             "--n_mixed", str(args.n_mixed), *sig)
     else:
         prior = os.path.join(w, "ncsn_image")

@@ -238,7 +238,8 @@ def main(args):
                                       for lvl in raw_levels])
             if mesh is not None:
                 stacked = replicate(stacked, mesh)
-            score_fn = glow_score_fn(model.log_prob)
+            score_fn = glow_score_fn(model.log_prob,
+                                     frame_chunk=args.score_chunk or None)
     else:
         compute_dtype = jnp.bfloat16 if args.compute_dtype == "bf16" \
             else None
@@ -435,6 +436,16 @@ if __name__ == "__main__":
                              "priors also halves per-chip HBM (one "
                              "source's sigma chain per chip row). Even "
                              "device counts only")
+    parser.add_argument("--score_chunk", type=int, default=8,
+                        help="Glow priors only: evaluate grad-through-flow "
+                             "scores over this many frames at a time "
+                             "(lax.map). The full-batch VJP stores ~18 GiB "
+                             "of coupling-net activations at the "
+                             "512-filter/28-frame production scale — over "
+                             "a v5e chip's HBM (measured, "
+                             "benchmarks/probe_glow_sep_memory.py). 0 = "
+                             "whole batch at once. No-op for NCSN priors "
+                             "(direct score nets, no input-grad residuals)")
     parser.add_argument("--n_mixed", type=int, default=30)
     parser.add_argument("--config", type=str)
     parser.add_argument("--seed", type=int, default=0)

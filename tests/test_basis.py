@@ -303,6 +303,34 @@ class TestGlowPriorPath:
         np.testing.assert_allclose(s1[0], 2.0, atol=1e-6)
         np.testing.assert_allclose(s1[1], 3.0, atol=1e-6)
 
+    def test_frame_chunked_glow_score_matches_full_batch(self):
+        """--score_chunk (HBM bound for the production-scale VJP) is
+        exact: frames are independent, so lax.map over frame chunks must
+        reproduce the full-batch score bit-for-bit, including the
+        pad-to-multiple path (n not divisible by the chunk)."""
+        from audiosourcesep_tpu.models.flow_builder import build_glow
+        from audiosourcesep_tpu.separation import glow_score_fn
+
+        key = jax.random.PRNGKey(3)
+        mb = jax.random.normal(key, (2, 8, 8, 1)) * 20.0 - 60.0
+        model, params = build_glow(key, mb, (8, 8, 1), L=2, K=2,
+                                   n_filters=8, learntop=True,
+                                   data_type="melspec", use_logit=False,
+                                   minval=-100.0, maxval=20.0)
+        stacked = stack_pytrees(stack_pytrees(params, params),
+                                stack_pytrees(params, params))  # [L=2, K=2]
+        x = jax.random.normal(jax.random.PRNGKey(4),
+                              (2, 7, 8, 8, 1)) * 20.0 - 60.0
+        labels = jnp.zeros((7,), jnp.int32)
+        full = glow_score_fn(model.log_prob)
+        for chunk in (3, 7, 16):
+            chunked = glow_score_fn(model.log_prob, frame_chunk=chunk)
+            for level in (0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(chunked(stacked, x, labels, level)),
+                    np.asarray(full(stacked, x, labels, level)),
+                    rtol=1e-6, atol=1e-6)
+
 
 class TestGlowSeparationQuality:
     """Separation *quality* (not just finiteness) for the Glow-prior path.
