@@ -33,13 +33,22 @@ from audiosourcesep_tpu.separation.basis import (BasisConfig, glow_score_fn,
 from audiosourcesep_tpu.separation.mixing import mixing_process
 
 L_SIGMA, K_SRC, N, H, W, C, T = 10, 2, 28, 96, 64, 1, 100
+TINY = dict(L_SIGMA=2, K_SRC=2, N=4, H=16, W=16, C=1, T=2,
+            L=2, K=2, n_filters=8)
 
 
-def main(remat: bool, chunk=None):
+def main(remat: bool, chunk=None, tiny: bool = False):
+    global L_SIGMA, K_SRC, N, H, W, C, T
+    glow_L, glow_K, n_filters = 3, 40, 512
+    if tiny:   # smoke-test scale (tests/test_bench.py)
+        L_SIGMA, K_SRC, N, H, W, C, T = (
+            TINY["L_SIGMA"], TINY["K_SRC"], TINY["N"], TINY["H"],
+            TINY["W"], TINY["C"], TINY["T"])
+        glow_L, glow_K, n_filters = TINY["L"], TINY["K"], TINY["n_filters"]
     key = jax.random.PRNGKey(0)
     minibatch = jax.random.normal(key, (2, H, W, C)) * 20.0 - 60.0
     model, template = build_glow(
-        key, minibatch, (H, W, C), L=3, K=40, n_filters=512,
+        key, minibatch, (H, W, C), L=glow_L, K=glow_K, n_filters=n_filters,
         learntop=True, data_type="melspec", use_logit=False,
         minval=-100.0, maxval=20.0, remat=remat)
     score_fn = glow_score_fn(model.log_prob, frame_chunk=chunk)
@@ -94,4 +103,5 @@ if __name__ == "__main__":
     chunk = None
     if "--chunk" in sys.argv:
         chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
-    main(remat="--remat" in sys.argv, chunk=chunk)
+    main(remat="--remat" in sys.argv, chunk=chunk,
+         tiny="--tiny" in sys.argv)

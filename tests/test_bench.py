@@ -80,6 +80,13 @@ class TestBenchSmoke:
         assert out["metric"] == "flowpp_bits_dim_digits_cache"
         assert np.isfinite(out["value"])
 
+    def test_probe_glow_sep_memory_tiny(self, capsys):
+        sys.path.insert(0, ".")
+        from benchmarks import probe_glow_sep_memory as pm
+        pm.main(remat=False, chunk=2, tiny=True)
+        out = capsys.readouterr().out
+        assert "peak(args+temp)" in out
+
     def test_bench_image_basis_tiny(self):
         sys.path.insert(0, ".")
         from benchmarks import bench_image_basis as bib
