@@ -263,3 +263,31 @@ class TestRemainingCLIs:
         assert "Max Euclidean Distance" in text
         val = float(text.split("=")[-1])
         assert 0 < val < 100
+
+
+class TestGlowChainDriver:
+    def test_inproc_chain_tiny(self, tmp_path_factory, dataset_dir):
+        """One-process chain driver (benchmarks/run_glow_chain_inproc.py):
+        base Glow -> noisy sigma chain -> Glow-prior BASIS chained via runpy
+        in a single process (the per-process TPU warm-up amortisation)."""
+        r = str(tmp_path_factory.mktemp("chain"))
+        import shutil
+        for inst in ("piano", "violin"):
+            shutil.copytree(dataset_dir, os.path.join(r, f"{inst}_ds"))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["ASR_CHAIN_TINY"] = "1"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        result = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "benchmarks", "run_glow_chain_inproc.py"),
+             r, "1", "1"],
+            capture_output=True, text=True, cwd=REPO, timeout=1200, env=env)
+        assert result.returncode == 0, (
+            f"chain driver failed:\nSTDOUT:\n{result.stdout[-3000:]}\n"
+            f"STDERR:\n{result.stderr[-3000:]}")
+        # all three TPU stages ran in THIS one process
+        assert result.stdout.count("===== STAGE DONE") >= 5
+        results = np.load(os.path.join(r, "basis", "results.npz"))
+        assert np.isfinite(results["x1"]).all()
